@@ -1,0 +1,93 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the frontier's URL/hash kernels.
+  * Each generates a direct static call (stays inside WholeStageCodegen,
+  * no UDF ser/de). Null-safety comes from UnaryExpression.eval's default
+  * null short-circuit. */
+abstract class StringKernel extends UnaryExpression {
+  protected def kernel: String // method name on graft.spark.SparkFun
+  override def dataType: DataType = StringType
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.SparkFun.$kernel($c)")
+}
+
+case class CanonicalizeUrl(child: Expression) extends StringKernel {
+  protected def kernel = "canonicalize"
+  override protected def nullSafeEval(v: Any): Any =
+    SparkFun.canonicalize(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class UrlFingerprint(child: Expression) extends StringKernel {
+  protected def kernel = "urlFingerprint"
+  override protected def nullSafeEval(v: Any): Any =
+    SparkFun.urlFingerprint(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class HostnameLocalFingerprint(child: Expression) extends StringKernel {
+  protected def kernel = "hostnameLocalFingerprint"
+  override protected def nullSafeEval(v: Any): Any =
+    SparkFun.hostnameLocalFingerprint(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class UrlHost(child: Expression) extends StringKernel {
+  protected def kernel = "urlHost"
+  override protected def nullSafeEval(v: Any): Any =
+    SparkFun.urlHost(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class SignedCrc32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    SparkFun.signedCrc32(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.SparkFun.signedCrc32($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class SeenKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    SparkFun.seenKey(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.SparkFun.seenKey($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Crc32NamePartitioner as an expression: python-mod(signed_crc32(host), n). */
+case class HostPartition(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(host: Any, n: Any): Any =
+    SparkFun.hostPartition(host.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, n) => s"graft.spark.SparkFun.hostPartition($h, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** Column-level API. */
+object FrontierExprs {
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.GraftColumnBridge
+  private def col(e: Expression): Column = GraftColumnBridge.toColumn(e)
+  private def expr(c: Column): Expression = GraftColumnBridge.toExpression(c)
+
+  def canonical_url(c: Column): Column = col(CanonicalizeUrl(expr(c)))
+  def url_fingerprint(c: Column): Column = col(UrlFingerprint(expr(c)))
+  def hostname_local_fingerprint(c: Column): Column = col(HostnameLocalFingerprint(expr(c)))
+  def url_host(c: Column): Column = col(UrlHost(expr(c)))
+  def signed_crc32(c: Column): Column = col(SignedCrc32(expr(c)))
+  def seen_key(c: Column): Column = col(SeenKey(expr(c)))
+  def host_partition(c: Column, n: Int): Column =
+    col(HostPartition(expr(c), expr(lit(n))))
+}

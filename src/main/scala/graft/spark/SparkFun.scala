@@ -1,0 +1,43 @@
+package graft.spark
+
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.{Hashing, UrlUtil}
+
+/** Static-callable kernels for whole-stage codegen. Scala objects without
+  * companion classes get static forwarders, so generated code can call
+  * `graft.spark.SparkFun.canonicalize(x)` directly. All inputs/outputs are
+  * UTF8String/primitives to stay inside Tungsten rows (no row-level
+  * ser/de like a Scala UDF would pay). */
+object SparkFun {
+  def canonicalize(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlUtil.canonicalize(url.toString))
+
+  /** sha1-hex of the canonicalized URL — reference row identity. */
+  def urlFingerprint(url: UTF8String): UTF8String =
+    UTF8String.fromString(Hashing.urlFingerprint(url.toString))
+
+  /** sha1-hex of the raw string (no canonicalization). */
+  def sha1Hex(s: UTF8String): UTF8String =
+    UTF8String.fromString(Hashing.sha1Hex(s.toString))
+
+  def hostnameLocalFingerprint(url: UTF8String): UTF8String =
+    UTF8String.fromString(Hashing.hostnameLocalFingerprint(url.toString))
+
+  /** Lowercased hostname (politeness slot key). */
+  def urlHost(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlUtil.slotKey(url.toString))
+
+  /** Signed-crc32 (python-compatible) of a string. */
+  def signedCrc32(s: UTF8String): Int = Hashing.signedCrc32(s.toString)
+
+  /** Crc32NamePartitioner: python-mod of signed crc32. */
+  def hostPartition(host: UTF8String, partitions: Int): Int =
+    Hashing.crc32Partition(host.toString, partitions)
+
+  /** murmur3 x64_128 low half of the canonicalized URL (URL-seen key). */
+  def seenKey(url: UTF8String): Long = Hashing.seenKey(url.toString)
+
+  /** CityHash64 of a string (FingerprintPartitioner key). */
+  def cityHash64(s: UTF8String): Long =
+    graft.core.CityHash.cityHash64(s.getBytes)
+}
