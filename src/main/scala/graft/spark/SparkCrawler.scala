@@ -1,0 +1,61 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Epoch-loop crawl driver — the Spark analog of the reference
+  * FrontierTester (frontera/utils/tester.py:13-95). The synthetic web is
+  * a links table `(url string, outlinks array<string>)`; "fetching" a URL
+  * is a join against it (and, when given, against the image payload
+  * table keyed by image_id == url fingerprint — the input_hint shape). */
+final class SparkCrawler(
+    frontier: SparkFrontier,
+    web: DataFrame, // url, outlinks
+    maxNextRequests: Int,
+    images: Option[DataFrame] = None) {
+
+  private val spark: SparkSession = frontier.spark
+  import spark.implicits._
+
+  /** URL sequence per epoch, in dequeue order. */
+  val sequence = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+  var epochsRun = 0
+
+  def crawlOnce(epochNo: Long): Boolean = {
+    val batch = frontier.nextBatch(maxNextRequests)
+    val ordered = batch.orderBy($"score".asc, $"created_at".asc)
+      .select($"url").as[String].collect().toList
+    if (ordered.isEmpty) { batch.unpersist(); return false }
+    sequence.append(ordered)
+
+    // fetch: join the batch against the web graph (and payload table)
+    val fetched = images match {
+      case Some(img) =>
+        batch.join(img, batch("fingerprint") === img("image_id"), "left_outer")
+      case None => batch
+    }
+    val pages = fetched.select($"fingerprint", $"url", $"depth", $"score", $"created_at")
+    val links = batch
+      .join(web, Seq("url"), "left_outer")
+      .select($"score".as("parent_score"), $"created_at".as("parent_created"),
+        $"depth".as("parent_depth"),
+        posexplode_outer(coalesce($"outlinks", array())))
+      .withColumnRenamed("pos", "link_idx")
+      .withColumnRenamed("col", "link_url")
+      .filter($"link_url".isNotNull)
+    frontier.processCrawled(pages, links, epochNo)
+    batch.unpersist()
+    true
+  }
+
+  /** Run until the frontier drains (or maxEpochs). Returns crawl order. */
+  def run(maxEpochs: Int = 10000): List[String] = {
+    var e = frontier.epoch
+    var continue = true
+    while (continue && epochsRun < maxEpochs) {
+      continue = crawlOnce(e + 1)
+      if (continue) { e += 1; epochsRun += 1 }
+    }
+    sequence.toList.flatten
+  }
+}

@@ -1,0 +1,218 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.spark.FrontierExprs._
+
+/** Scoring strategy as Catalyst column expressions — the Spark-native form
+  * of the reference's CrawlingStrategy score functions
+  * (tests/backends.py:51-73, frontera/strategy/depth.py:19-42). */
+sealed trait ScoreStrategy extends Serializable {
+  def seedScore: Column
+  def linkScore(parentDepth: Column): Column
+}
+object ScoreStrategy {
+  /** Basic: everything at 1.0 (strategy/basic.py). */
+  case object Basic extends ScoreStrategy {
+    def seedScore: Column = lit(1.0)
+    def linkScore(d: Column): Column = lit(1.0)
+  }
+  /** test-DFS: 1/(depth+1) — min-queue pops deepest first. */
+  case object DFS extends ScoreStrategy {
+    def seedScore: Column = lit(1.0)
+    def linkScore(d: Column): Column = lit(1.0) / (d.cast(DoubleType) + 2.0)
+  }
+  /** test-BFS: depth/10 — min-queue pops shallowest first. */
+  case object BFS extends ScoreStrategy {
+    def seedScore: Column = lit(0.0)
+    def linkScore(d: Column): Column = (d.cast(DoubleType) + 1.0) / 10.0
+  }
+}
+
+/** Spark-native crawl frontier over bucketed snapshot tables.
+  *
+  * One epoch = one pass of the reference's distributed loop (SURVEY §3):
+  * dequeue (batch generator, per-partition top-k with politeness caps) →
+  * fetch → page_crawled + links_extracted (strategy worker batch) →
+  * states merge + queue append (DB worker). The strategy-worker /
+  * DB-worker / spider process split of the reference collapses into
+  * stage boundaries of one Spark job; the message-bus topics are the
+  * shuffle edges.
+  *
+  * Scale design (north rule):
+  *  - queue bucketed by `partition_id = python_mod(signed_crc32(host), P)`
+  *    — all of a host's URLs live in one bucket, politeness state is
+  *    co-located, dequeue windows never shuffle across hosts
+  *  - states bucketed by fingerprint hash — the URL-seen anti-join
+  *    touches only buckets with candidate links; exact-set semantics
+  *    (the reference's dedup is exact; a Bloom prefilter would sit in
+  *    front of this join, never replace it)
+  *  - per-host token-bucket politeness at dequeue (the OverusedBuffer
+  *    semantics at epoch granularity: withheld rows stay queued)
+  *  - every epoch commits atomically (manifest flip) ⇒ crash-resume
+  */
+final class SparkFrontier(
+    val spark: SparkSession,
+    val root: String,
+    val partitions: Int = 8,
+    val stateBuckets: Int = 8,
+    val strategy: ScoreStrategy = ScoreStrategy.BFS,
+    /** politeness: max requests per host per epoch (0 = unlimited) */
+    val maxPerHost: Int = 0,
+    /** conformance mode: single global (score, created) order like the
+      * single-partition reference; scale mode: per-partition top-k */
+    val globalOrder: Boolean = false) extends Serializable {
+
+  import spark.implicits._
+
+  val queueSchema: StructType = StructType(Seq(
+    StructField("fingerprint", StringType), StructField("url", StringType),
+    StructField("host", StringType), StructField("partition_id", IntegerType),
+    StructField("score", DoubleType), StructField("created_at", LongType),
+    StructField("depth", IntegerType)))
+  val statesSchema: StructType = StructType(Seq(
+    StructField("fingerprint", StringType), StructField("state", IntegerType),
+    StructField("sbucket", IntegerType)))
+
+  val queue = new BucketStore(s"$root/queue", "partition_id", partitions)
+  val states = new BucketStore(s"$root/states", "sbucket", stateBuckets)
+  queue.emptySchema = Some(queueSchema)
+  states.emptySchema = Some(statesSchema)
+
+  def epoch: Long = math.max(queue.readManifest().epoch, 0L)
+
+  private def sbucketCol(fp: Column): Column =
+    pmod(xxhash64(fp), lit(stateBuckets)).cast(IntegerType)
+
+  /** Decorate a url column with the frontier identity columns. */
+  private def identity(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("fingerprint", url_fingerprint(col(urlCol)))
+      .withColumn("host", url_host(col(urlCol)))
+      .withColumn("partition_id", host_partition(col("host"), partitions))
+
+  /** Seed injection (reference add_seeds path, SURVEY §3.3): no states
+    * check — seeds schedule unconditionally, like strategy.read_seeds. */
+  def addSeeds(seedUrls: Seq[String]): Unit = {
+    val df = identity(
+      seedUrls.zipWithIndex.toDF("url", "seq"), "url")
+      .withColumn("score", strategy.seedScore)
+      .withColumn("created_at", $"seq".cast(LongType))
+      .withColumn("depth", lit(0))
+      .select(queueSchema.fieldNames.map(col): _*)
+    queue.append(df, epoch, Map("seeds" -> seedUrls.length.toLong))
+  }
+
+  /** Dequeue one batch: the reference get_next_requests hot path
+    * (SURVEY §3.1). Returns the batch and removes it from the queue. */
+  def nextBatch(maxNextRequests: Int): DataFrame = {
+    val q = queue.read(spark)
+    val batch0 =
+      if (globalOrder)
+        q.orderBy($"score".asc, $"created_at".asc).limit(maxNextRequests)
+      else {
+        val w = Window.partitionBy($"partition_id")
+          .orderBy($"score".asc, $"created_at".asc)
+        q.withColumn("__rank", row_number().over(w))
+          .filter($"__rank" <= maxNextRequests).drop("__rank")
+      }
+    val batch = (if (maxPerHost > 0) {
+      val hw = Window.partitionBy($"host")
+        .orderBy($"score".asc, $"created_at".asc)
+      batch0.withColumn("__hrank", row_number().over(hw))
+        .filter($"__hrank" <= maxPerHost).drop("__hrank")
+    } else batch0).cache()
+
+    val touched = batch.select($"partition_id").distinct()
+      .as[Int].collect().toSet
+    if (touched.nonEmpty) {
+      val remaining = queue.readBuckets(spark, Some(touched))
+        .join(batch.select($"fingerprint".as("__f"), $"created_at".as("__c")),
+          $"fingerprint" === $"__f" && $"created_at" === $"__c", "left_anti")
+      queue.replaceBuckets(remaining, epoch,
+        alsoClear = touched,
+        counters = Map("dequeued" -> batch.count()))
+    }
+    batch
+  }
+
+  /** Process crawl results: `pages` = the fetched batch (must carry
+    * fingerprint/url/depth/score/created_at), `links` = extracted links
+    * as (parent row ++ link_url, link_idx).
+    *
+    * Pipeline (reference links_extracted, SURVEY §3.2): identity columns →
+    * in-batch first-occurrence dedup → URL-seen anti-join (states ∪ this
+    * batch's pages) → strategy score → queue append + states merge. */
+  def processCrawled(pages: DataFrame, links: DataFrame, epochNo: Long): Unit = {
+    val pageStates = pages.select($"fingerprint").distinct()
+      .withColumn("state", lit(graft.local.States.Crawled))
+
+    val l0 = identity(links, "link_url")
+    // first occurrence wins: order links by the dequeue order of their
+    // parent, then extraction order — reproduces the sequential schedule
+    // order of the reference manager loop
+    val firstW = Window.partitionBy($"fingerprint")
+      .orderBy($"parent_score".asc, $"parent_created".asc, $"link_idx".asc)
+    val deduped = l0.withColumn("__occ", row_number().over(firstW))
+      .filter($"__occ" === 1).drop("__occ")
+
+    // URL-seen: exact anti-join against the states store; links to pages
+    // crawled in THIS batch are also seen (manager processes page_crawled
+    // before the next page's links_extracted)
+    val statesDf = states.read(spark).select($"fingerprint")
+      .union(pageStates.select($"fingerprint"))
+    val fresh = deduped.join(statesDf, Seq("fingerprint"), "left_anti")
+
+    // deterministic created_at = schedule order. Conformance mode uses a
+    // global dense rank (single-partition window — fine for oracle runs);
+    // scale mode ranks within each host-partition and interleaves
+    // (rank*P + pid): parallel, unique, deterministic.
+    val epochBase = (epochNo + 1) << 40
+    val seqCol =
+      if (globalOrder) {
+        val w = Window.orderBy($"parent_score".asc, $"parent_created".asc, $"link_idx".asc)
+        row_number().over(w).cast(LongType)
+      } else {
+        val w = Window.partitionBy($"partition_id")
+          .orderBy($"parent_score".asc, $"parent_created".asc, $"link_idx".asc)
+        row_number().over(w).cast(LongType) * partitions + $"partition_id"
+      }
+    val scheduled = fresh
+      .withColumn("depth", $"parent_depth" + 1)
+      .withColumn("score", strategy.linkScore($"parent_depth"))
+      .withColumn("created_at", lit(epochBase) + seqCol)
+      .select(col("link_url").as("url"), $"fingerprint", $"host",
+        $"partition_id", $"score", $"created_at", $"depth")
+      .select(queueSchema.fieldNames.map(col): _*)
+      .cache()
+
+    val nScheduled = scheduled.count()
+    queue.append(scheduled, epochNo, Map("scheduled" -> nScheduled))
+
+    // states merge: crawled pages + newly queued links (QUEUED)
+    val updates = pageStates
+      .union(scheduled.select($"fingerprint")
+        .withColumn("state", lit(graft.local.States.Queued)))
+      .withColumn("sbucket", sbucketCol($"fingerprint"))
+      .select(statesSchema.fieldNames.map(col): _*)
+      .cache()
+    val touched = updates.select($"sbucket").distinct().as[Int].collect().toSet
+    if (touched.nonEmpty) {
+      val old = states.readBuckets(spark, Some(touched))
+        .join(updates.select($"fingerprint".as("__f")), $"fingerprint" === $"__f", "left_anti")
+      states.replaceBuckets(old.union(updates), epochNo,
+        alsoClear = touched,
+        counters = Map("crawled" -> pages.count(), "queued" -> nScheduled))
+    }
+    scheduled.unpersist()
+    updates.unpersist()
+  }
+
+  /** URL-seen membership snapshot (conformance checks). */
+  def stateSnapshot(): Map[String, Int] =
+    states.read(spark).select($"fingerprint", $"state").as[(String, Int)]
+      .collect().toMap
+
+  def queueSize(): Long = queue.read(spark).count()
+}
