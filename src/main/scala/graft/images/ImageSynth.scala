@@ -1,0 +1,166 @@
+package graft.images
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+import graft.core.{Hashing, UrlUtil}
+
+/** Deterministic image+caption payload synthesis and verification — the
+  * input_hint table `(image_id, bytes, w, h, fmt, caption, phash)`.
+  * One row per crawlable URL; image_id = the URL fingerprint, so the
+  * "fetch" of a URL is an equi-join against this table.
+  *
+  * Pixels are a smooth deterministic RGB field seeded by murmur3 of the
+  * canonical URL; `fmt` alternates png (lossless — exact pixel check) and
+  * jpeg q=0.97 (lossy — PSNR ≥ 40 dB check, min ≈40.9 dB over seeds) by host-crc32 parity, which
+  * exercises both verification paths of the per-row invariant. */
+object ImageSynth {
+
+  final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int,
+      h: Int, fmt: String, caption: String, phash: Long)
+
+  def seedOf(url: String): Long =
+    Hashing.murmur128(UrlUtil.canonicalize(url).getBytes("UTF-8"), 42)._1
+
+  /** Smooth pseudo-random RGB pixel field (JPEG-friendly: low-frequency,
+    * so q=0.97 stays above 40 dB PSNR). */
+  def pixels(url: String, w: Int, h: Int): Array[Int] = {
+    val seed = seedOf(url)
+    // low spatial frequency (≤2 periods across the image) keeps q=0.95
+    // JPEG comfortably above the 40 dB bar on every seed
+    val fr = 2.0 * math.Pi * (1 + ((seed >>> 8) & 1))
+    val px = new Array[Int](w * h)
+    val p0 = (seed & 0xff).toDouble / 255.0
+    val p1 = ((seed >>> 16) & 0xff).toDouble / 255.0
+    val p2 = ((seed >>> 32) & 0xff).toDouble / 255.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val u = x.toDouble / w
+        val v = y.toDouble / h
+        val r = (127.5 * (1 + math.sin(fr * (u + p0) + v))).toInt
+        val g = (127.5 * (1 + math.sin(fr * (v + p1) + u))).toInt
+        val b = (127.5 * (1 + math.cos(fr * ((u + v) / 2 + p2)))).toInt
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private def toImage(px: Array[Int], w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(toImage(px, w, h), "png", out)
+    out.toByteArray
+  }
+
+  def encodeJpeg(px: Array[Int], w: Int, h: Int, quality: Float = 0.97f): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(toImage(px, w, h), null, null), param)
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** 64-bit average-hash over an 8×8 grayscale downsample of the pixel
+    * field — the `phash` column (perceptual-hash-like, stable per URL). */
+  def phash(px: Array[Int], w: Int, h: Int): Long = {
+    val gray = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val gx = i % 8
+      val gy = i / 8
+      // average the cell
+      var sum = 0.0
+      var n = 0
+      var y = gy * h / 8
+      while (y < (gy + 1) * h / 8) {
+        var x = gx * w / 8
+        while (x < (gx + 1) * w / 8) {
+          val p = px(y * w + x)
+          sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      gray(i) = if (n > 0) sum / n else 0.0
+      i += 1
+    }
+    val mean = gray.sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) >= mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  def caption(url: String, depth: Int): String = {
+    val host = UrlUtil.slotKey(url)
+    val path = UrlUtil.urlparse(url).path
+    f"$host page $path depth $depth :: ${seedOf(url)}%016x"
+  }
+
+  /** Synthesize the full row for a URL. */
+  def rowFor(url: String, depth: Int, w: Int = 64, h: Int = 64): ImageRow = {
+    val px = pixels(url, w, h)
+    val host = UrlUtil.slotKey(url)
+    val isPng = (Hashing.signedCrc32(host) & 1) == 0
+    val bytes = if (isPng) encodePng(px, w, h) else encodeJpeg(px, w, h)
+    ImageRow(Hashing.urlFingerprint(url), bytes, w, h,
+      if (isPng) "png" else "jpeg", caption(url, depth), phash(px, w, h))
+  }
+
+  // ---- verification (the per-row invariant of the north rule) ----
+
+  def decode(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  /** PSNR between reference pixels and a decoded image, in dB. */
+  def psnr(ref: Array[Int], img: BufferedImage): Double = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val got = img.getRGB(0, 0, w, h, null, 0, w)
+    var mse = 0.0
+    var i = 0
+    while (i < ref.length) {
+      var c = 0
+      while (c < 3) {
+        val d = (((ref(i) >> (8 * c)) & 0xff) - ((got(i) >> (8 * c)) & 0xff)).toDouble
+        mse += d * d
+        c += 1
+      }
+      i += 1
+    }
+    mse /= (ref.length * 3)
+    if (mse == 0) Double.PositiveInfinity
+    else 10 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  /** The invariant: lossless ⇒ exact pixels; lossy ⇒ PSNR ≥ 40 dB;
+    * caption must match exactly. */
+  def verifyRow(url: String, depth: Int, row: ImageRow): Boolean = {
+    val ref = pixels(url, row.w, row.h)
+    val img = decode(row.bytes)
+    val pixelOk =
+      if (row.fmt == "png") psnr(ref, img).isPosInfinity
+      else psnr(ref, img) >= 40.0
+    pixelOk && row.caption == caption(url, depth)
+  }
+}
