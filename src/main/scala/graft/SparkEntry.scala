@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.spark.{SparkFrontier, SparkCrawler, ScoreStrategy, GraphTables}
+import graft.local.Graphs
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship: an end-to-end frontier crawl (seed → schedule → dequeue →
+    * fetch-join → links_extracted → states merge), BFS over the SITE_01
+    * oracle graph, returning the crawl sequence. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val graph = Graphs.site01
+    val frontier = new SparkFrontier(spark, root, partitions = 4,
+      stateBuckets = 4, strategy = ScoreStrategy.BFS, globalOrder = true)
+    frontier.addSeeds(graph.seeds)
+    val crawler = new SparkCrawler(frontier, GraphTables.webDF(spark, graph), 100)
+    val seq = crawler.run()
+    seq.zipWithIndex.toDF("url", "crawl_pos")
+  }
+
+  /** Frontier crawl as a (rows-only-checked) query: deterministic crawl
+    * order over the SITE_02 oracle graph. */
+  private def qFrontierCrawl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-crawl").toString
+    val graph = Graphs.site02
+    val frontier = new SparkFrontier(spark, root, partitions = 4,
+      stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true)
+    frontier.addSeeds(graph.seeds)
+    val crawler = new SparkCrawler(frontier, GraphTables.webDF(spark, graph), 10)
+    crawler.run().zipWithIndex.toDF("url", "crawl_pos")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data pipeline operators). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.ops.PipelineOps.queries + ("q_frontier_crawl_dfs" -> (qFrontierCrawl _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (the frontier crawl — its oracle is the reference sequence suite). */
+  def oracleSql: Map[String, String] = graft.ops.PipelineOps.oracleSql
 }

@@ -1,0 +1,579 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The engine's operator surface expressed over the driver's test tables
+  * (TESTDATA.md), each paired with an ANSI-SQL oracle (DuckDB) in
+  * `SparkEntry.oracleSql`. Frontier operators (SURVEY §2) run on a URL
+  * corpus derived deterministically from `events`; the training-data
+  * pipeline operators (dedup / similarity / text / multimodal) run on
+  * `documents` and `embeddings`.
+  *
+  * Scale notes are attached per operator: every query is shaped so its
+  * plan survives a 100×–10000× scale-up (hash-partitionable keys, no
+  * driver-side loops, pushed-down filters, window functions bounded by
+  * partition keys).
+  */
+object PipelineOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** URL corpus: deterministic URL per event row. ~50 hosts ⇒ heavy host
+    * skew is possible — exactly the shape the frontier partitioner
+    * handles via crc32(host) bucketing at scale. */
+  private def urls(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      concat(lit("http://host"), col("user_id") % 50, lit(".example/p/"), col("event_id")).as("url"),
+      (col("user_id") % 50).as("hostnum"),
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts"))
+
+  private val urlsSql =
+    """SELECT 'http://host' || (user_id % 50) || '.example/p/' || event_id AS url,
+      |       user_id % 50 AS hostnum, event_id, user_id, event_type, value, ts
+      |FROM events""".stripMargin
+
+  // =====================================================================
+  // Frontier operators (SURVEY §2) over the URL corpus
+  // =====================================================================
+
+  /** S1: seed reader — normalize + drop "comment" rows + dedupe.
+    * Scale: pure map + hash-dedup, fully parallel. */
+  def qS1Seeds(spark: SparkSession, dir: String): DataFrame =
+    urls(spark, dir).filter(col("event_id") % 97 =!= 0)
+      .select(col("url")).distinct()
+
+  val qS1SeedsSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT DISTINCT url FROM u WHERE event_id % 97 <> 0""".stripMargin
+
+  /** F1/J1: URL-seen dedup — anti-join candidate links against the seen
+    * set. Scale: both sides hash-partitioned on url; with the states
+    | table bucketed, this is the bucket-pruned anti-join of the engine. */
+  def qF1SeenAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val u = urls(spark, dir)
+    val links = u.filter(col("event_type") === "click").select(col("url"))
+    val seen = u.filter(col("event_type") === "view").select(col("url"))
+    links.join(seen, Seq("url"), "left_anti").distinct()
+  }
+
+  val qF1SeenAntijoinSql: String =
+    s"""WITH u AS ($urlsSql),
+       |links AS (SELECT url FROM u WHERE event_type = 'click'),
+       |seen AS (SELECT url FROM u WHERE event_type = 'view')
+       |SELECT DISTINCT url FROM links
+       |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = links.url)""".stripMargin
+
+  /** S2/S3/T2: per-partition dequeue top-k, ORDER BY score ASC,
+    * created_at ASC LIMIT k. Scale: window bounded by partition key —
+    * never a global sort. */
+  def qS3DequeueTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("partition_id"))
+      .orderBy(col("score").asc, col("event_id").asc)
+    urls(spark, dir)
+      .withColumn("partition_id", col("user_id") % 8)
+      .withColumn("score", round(col("value"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("partition_id"), col("event_id"), col("score"), col("rn"))
+  }
+
+  val qS3DequeueTopkSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT * FROM (
+       |  SELECT user_id % 8 AS partition_id, event_id, round(value, 6) AS score,
+       |         row_number() OVER (PARTITION BY user_id % 8
+       |                            ORDER BY round(value, 6) ASC, event_id ASC) AS rn
+       |  FROM u) WHERE rn <= 5""".stripMargin
+
+  /** A2: per-host cap (BC_MAX_REQUESTS_PER_HOST): keep best 3 per host.
+    * Scale: window over host key; hot hosts are the skew case the engine
+    * salts — the cap itself bounds output per key. */
+  def qA2HostCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("hostnum"))
+      .orderBy(col("score").desc, col("event_id").asc)
+    urls(spark, dir)
+      .withColumn("score", round(col("value"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("hostnum"), col("event_id"), col("score"))
+  }
+
+  val qA2HostCapSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT hostnum, event_id, score FROM (
+       |  SELECT hostnum, event_id, round(value, 6) AS score,
+       |         row_number() OVER (PARTITION BY hostnum
+       |                            ORDER BY round(value, 6) DESC, event_id ASC) AS rn
+       |  FROM u) WHERE rn <= 3""".stripMargin
+
+  /** T3/T4: score bucketing (HBase 0.01-interval rowkeys / Redis zscores):
+    * distribution of queue scores by bucket. Scale: map + partial agg. */
+  def qT3ScoreBucket(spark: SparkSession, dir: String): DataFrame =
+    urls(spark, dir)
+      .withColumn("bucket", floor(col("value") * 10).cast(LongType))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  val qT3ScoreBucketSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT CAST(floor(value * 10) AS BIGINT) AS bucket, count(*) AS n
+       |FROM u GROUP BY 1""".stripMargin
+
+  /** A1+A4: per-domain counters (queued_pages, max score, distinct users).
+    * Scale: partial-aggregated groupBy on the politeness key. */
+  def qA4DomainCounters(spark: SparkSession, dir: String): DataFrame =
+    urls(spark, dir).groupBy(col("hostnum"))
+      .agg(count(lit(1)).as("queued_pages"),
+        round(max(col("value")), 6).as("max_score"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val qA4DomainCountersSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT hostnum, count(*) AS queued_pages, round(max(value), 6) AS max_score,
+       |       count(DISTINCT user_id) AS n_users
+       |FROM u GROUP BY hostnum""".stripMargin
+
+  /** F4/J5: domain blacklist / overused-keys anti-filter.
+    * Scale: broadcast the (small) key set. */
+  def qJ5OverusedFilter(spark: SparkSession, dir: String): DataFrame =
+    urls(spark, dir)
+      .filter(!col("hostnum").isin(1L, 2L, 3L))
+      .filter(col("event_type") === "purchase")
+      .select(col("url"), col("hostnum"))
+
+  val qJ5OverusedFilterSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT url, hostnum FROM u
+       |WHERE hostnum NOT IN (1, 2, 3) AND event_type = 'purchase'""".stripMargin
+
+  /** F7: link-of-interest classifier → score classes (discovery strategy
+    * home=0.8 / interest=0.7 / other=0.5). Pure projection. */
+  def qF7LinkClassifier(spark: SparkSession, dir: String): DataFrame =
+    urls(spark, dir).select(col("url"),
+      when(col("event_type") === "view", 0.8)
+        .when(col("event_type") === "click", 0.7)
+        .otherwise(0.5).as("cls"))
+      .distinct()
+
+  val qF7LinkClassifierSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT DISTINCT url,
+       |  CASE event_type WHEN 'view' THEN 0.8 WHEN 'click' THEN 0.7 ELSE 0.5 END AS cls
+       |FROM u""".stripMargin
+
+  /** S8: states merge — last state per URL wins (latest event).
+    * Scale: window over url key == the MERGE INTO states per epoch. */
+  def qS8StatesLastWins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    urls(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("event_type").as("state"))
+  }
+
+  val qS8StatesLastWinsSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT url, event_type AS state FROM (
+       |  SELECT url, event_type,
+       |         row_number() OVER (PARTITION BY url ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM u) WHERE rn = 1""".stripMargin
+
+  /** 2.10: epoch/stream aggregation — tumbling 1h event-time windows per
+    * type (the stats-log stream). Scale: two-level agg, watermarkable. */
+  def qStreamWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  val qStreamWindowSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** S5: crawl_at delayed-visibility filter (revisit scheduling).
+    * Scale: pushed to the parquet scan (PushedFilters). */
+  def qS5VisibilityFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("ts") <= lit("2024-06-01 00:00:00").cast(TimestampType) &&
+        col("value") > 5.0)
+      .select(col("event_id"), col("user_id"))
+
+  val qS5VisibilityFilterSql: String =
+    """SELECT event_id, user_id FROM events
+      |WHERE ts <= TIMESTAMP '2024-06-01 00:00:00' AND value > 5.0""".stripMargin
+
+  // =====================================================================
+  // Training-data pipeline: deduplication
+  // =====================================================================
+
+  /** Exact dedup: group by content hash, keep lowest doc_id.
+    * Scale: single hash-partitioned aggregation over 100 TB. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Word-3-gram Jaccard near-dup pairs (blocked by lang).
+    * Scale: shingle explode → self-equi-join on shingle (hash join),
+    * block by a cheap key to keep candidate pairs linear-ish. */
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    val sh = docs
+      .withColumn("shingle", explode(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+          .otherwise(array())))
+      .select(col("doc_id"), col("lang"), col("shingle")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b,
+      col("a.shingle") === col("b.shingle") &&
+        col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val qDedupNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, lang, shingle
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+      |            list_transform(range(1, len(string_split(text,' ')) - 1),
+      |              i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
+      |          ELSE [] END) AS shingle
+      |        FROM documents)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.1""".stripMargin
+
+  /** MinHash + LSH candidate pairs: 4 hashes (min of md5(token|i)),
+    * 2 bands of 2 → pairs sharing a band bucket.
+    * Scale: per-doc agg + self-join on band key — the standard
+    * shingle→minhash→band→bucket-join, all hash-partitioned. */
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sigs = toks.groupBy(col("doc_id")).agg(
+      min(md5(concat(col("tok"), lit("|0")))).as("h0"),
+      min(md5(concat(col("tok"), lit("|1")))).as("h1"),
+      min(md5(concat(col("tok"), lit("|2")))).as("h2"),
+      min(md5(concat(col("tok"), lit("|3")))).as("h3"))
+    val bands = sigs.select(col("doc_id"), md5(concat(col("h0"), col("h1"))).as("bk"))
+      .union(sigs.select(col("doc_id"), md5(concat(col("h2"), col("h3"))).as("bk")))
+    bands.as("a").join(bands.as("b"),
+      col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val qDedupMinhashLshSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    min(md5(tok || '|0')) AS h0, min(md5(tok || '|1')) AS h1,
+      |    min(md5(tok || '|2')) AS h2, min(md5(tok || '|3')) AS h3
+      |  FROM toks GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, md5(h0 || h1) AS bk FROM sigs
+      |  UNION ALL
+      |  SELECT doc_id, md5(h2 || h3) AS bk FROM sigs)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+
+  /** SimHash (16-bit, md5-nibble based): per-document locality-sensitive
+    * bit signature. Scale: explode + 16 conditional aggs, map-side
+    * combinable. The same generated arithmetic feeds Spark and DuckDB. */
+  private val simhashBitsSql: Seq[String] = (1 to 16).map { i =>
+    s"sum(CASE WHEN substr(md5(tok), $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$i"
+  }
+  private val simhashValueSql: String =
+    (1 to 16).map(i => s"(CASE WHEN s$i > 0 THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    toks.groupBy("doc_id")
+      .agg(expr(simhashBitsSql.head),
+        simhashBitsSql.tail.map(expr): _*)
+      .selectExpr("doc_id", s"CAST($simhashValueSql AS BIGINT) AS simhash")
+  }
+
+  val qDedupSimhashSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bits AS (SELECT doc_id, ${simhashBitsSql.mkString(", ")} FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash FROM bits""".stripMargin
+
+  // =====================================================================
+  // Training-data pipeline: similarity search over embeddings
+  // =====================================================================
+
+  /** Brute-force cosine top-k against a query vector (vec_id 0), double
+    * accumulation, rounded before ranking for cross-engine determinism.
+    * Scale path: this exact shape fans out as one pass over the
+    * embedding table (broadcast query vectors); the LSH variant below
+    * prunes candidates first. */
+  def qAnnCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val dot = expr(
+      "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr(
+      "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    val nb = expr(
+      "sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", round(dot / na / nb, 4))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("cos"))
+  }
+
+  val qAnnCosineTopkSql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  round(
+      |    list_sum(list_transform(list_zip(e.embedding, q.qv), s -> s[1]::DOUBLE * s[2]::DOUBLE))
+      |    / sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |    / sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))), 4) AS cos
+      |FROM embeddings e, q
+      |WHERE e.vec_id % 5 = 0 AND e.vec_id <> 0
+      |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
+  /** Sign-random-projection LSH buckets over embeddings (the scale path
+    * for ANN): 8-bit signature from fixed pseudo-random hyperplanes
+    * (deterministic ±1 weights from (dim_index*8+bit) parity pattern).
+    * Output: bucket sizes — candidate sets for bucketed search. */
+  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic ±1 weight for (bit b, dim i): sign = parity of
+    // popcount(i * (b + 3)) — cheap, engine-agnostic integer arithmetic
+    def bitExpr(b: Int): String = {
+      // sum_i w(b,i) * x_i > 0
+      s"""(aggregate(zip_with(embedding, sequence(0, 63),
+         |  (x, i) -> CAST(x AS DOUBLE) * (CAST(bit_count(i * ${b + 3}) % 2 AS DOUBLE) * 2.0 - 1.0)),
+         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0.0)""".stripMargin
+    }
+    val sig = (0 until 8).map(b =>
+      s"(CASE WHEN ${bitExpr(b)} THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+    t(spark, dir, "embeddings")
+      .selectExpr("vec_id", s"CAST($sig AS INT) AS bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  val qAnnLshBucketsSql: String = {
+    def bitExpr(b: Int): String =
+      s"""(list_sum(list_transform(list_zip(embedding, range(0, 64)),
+         |  s -> s[1]::DOUBLE * (CAST(bit_count(CAST(s[2] * ${b + 3} AS BIGINT)) % 2 AS DOUBLE) * 2.0 - 1.0))) > 0.0)""".stripMargin
+    val sig = (0 until 8).map(b =>
+      s"(CASE WHEN ${bitExpr(b)} THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+    s"""SELECT CAST($sig AS INT) AS bucket, count(*) AS n
+       |FROM embeddings GROUP BY 1""".stripMargin
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ 0.35 within label blocks (threshold fits the synthetic embedding spread).
+    * Scale: label (or LSH bucket) blocking keeps the pair join sparse. */
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val joined = emb.as("a").join(emb.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val dot = expr(
+      "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    def norm(side: String) = expr(
+      s"sqrt(aggregate(transform($side.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    joined.withColumn("cos", round(dot / norm("a") / norm("b"), 4))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+  }
+
+  val qEmbedNearDupSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> s[1]::DOUBLE * s[2]::DOUBLE))
+      |    / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |    / sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS cos
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+      |  AND round(
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> s[1]::DOUBLE * s[2]::DOUBLE))
+      |    / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |    / sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))), 4) >= 0.35""".stripMargin
+
+  // =====================================================================
+  // Training-data pipeline: text analysis
+  // =====================================================================
+
+  /** Token counting: whitespace tokens + distinct tokens. */
+  def qTextTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast(LongType).as("n_distinct"))
+
+  val qTextTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * type-token ratio. All map-side, rounded for determinism. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars_obs"),
+      round(length(col("text")).cast(DoubleType) / size(toks), 6).as("mean_tok_len"),
+      round(size(filter(toks, x => x.isin("the", "a"))).cast(DoubleType) / size(toks), 6)
+        .as("stopword_ratio"),
+      round(size(array_distinct(toks)).cast(DoubleType) / size(toks), 6).as("ttr"))
+  }
+
+  val qTextQualitySql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_obs,
+      |  round(length(text)::DOUBLE / len(string_split(text,' ')), 6) AS mean_tok_len,
+      |  round(len(list_filter(string_split(text,' '), x -> x IN ('the','a')))::DOUBLE
+      |        / len(string_split(text,' ')), 6) AS stopword_ratio,
+      |  round(len(list_distinct(string_split(text,' ')))::DOUBLE
+      |        / len(string_split(text,' ')), 6) AS ttr
+      |FROM documents""".stripMargin
+
+  /** Language-ID heuristic: stopword-hit voting (the n-gram-profile
+    * shape; with this synthetic corpus the predictor keys off function
+    * words). Deterministic, identical on both engines. */
+  def qTextLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def hits(words: String*) =
+      size(filter(toks, x => x.isin(words.map(lit(_)): _*))).cast(DoubleType)
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      when(hits("the", "a") / size(toks) >= 0.05, "en")
+        .otherwise("other").as("pred_lang"))
+  }
+
+  val qTextLangidSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN len(list_filter(string_split(text,' '), x -> x IN ('the','a')))::DOUBLE
+      |            / len(string_split(text,' ')) >= 0.05
+      |       THEN 'en' ELSE 'other' END AS pred_lang
+      |FROM documents""".stripMargin
+
+  /** Document fingerprint: content hash of normalized text (the rolling-
+    * hash shape collapsed to a stable whole-doc digest). */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(lower(col("text"))).as("fp"),
+      col("n_chars"))
+
+  val qTextFingerprintSql: String =
+    "SELECT doc_id, md5(lower(text)) AS fp, n_chars FROM documents"
+
+  // =====================================================================
+  // Multimodal plumbing: opaque binary payload + typed metadata
+  // =====================================================================
+
+  /** Binary-column plumbing: payload treated as opaque bytes with typed
+    * metadata (the decode itself is the engine's ImageSynth/phash path —
+    * exercised end-to-end in ImageSpec; here the oracle-checkable part:
+    * byte length + first-byte features, i.e. the UDF batch shape). */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      length(to_binary(col("text"), lit("utf-8"))).cast(LongType).as("n_bytes"),
+      ascii(substring(col("text"), 1, 1)).cast(LongType).as("first_byte"))
+
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+      |FROM documents""".stripMargin
+
+  // =====================================================================
+  // registry
+  // =====================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_s1_seeds" -> (qS1Seeds _),
+    "q_f1_seen_antijoin" -> (qF1SeenAntijoin _),
+    "q_s3_dequeue_topk" -> (qS3DequeueTopk _),
+    "q_a2_host_cap" -> (qA2HostCap _),
+    "q_t3_score_bucket" -> (qT3ScoreBucket _),
+    "q_a4_domain_counters" -> (qA4DomainCounters _),
+    "q_j5_overused_filter" -> (qJ5OverusedFilter _),
+    "q_f7_link_classifier" -> (qF7LinkClassifier _),
+    "q_s8_states_last_wins" -> (qS8StatesLastWins _),
+    "q_stream_window" -> (qStreamWindow _),
+    "q_s5_visibility_filter" -> (qS5VisibilityFilter _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_ann_cosine_topk" -> (qAnnCosineTopk _),
+    "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
+    "q_embed_near_dup" -> (qEmbedNearDup _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_multimodal_meta" -> (qMultimodalMeta _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_s1_seeds" -> qS1SeedsSql,
+    "q_f1_seen_antijoin" -> qF1SeenAntijoinSql,
+    "q_s3_dequeue_topk" -> qS3DequeueTopkSql,
+    "q_a2_host_cap" -> qA2HostCapSql,
+    "q_t3_score_bucket" -> qT3ScoreBucketSql,
+    "q_a4_domain_counters" -> qA4DomainCountersSql,
+    "q_j5_overused_filter" -> qJ5OverusedFilterSql,
+    "q_f7_link_classifier" -> qF7LinkClassifierSql,
+    "q_s8_states_last_wins" -> qS8StatesLastWinsSql,
+    "q_stream_window" -> qStreamWindowSql,
+    "q_s5_visibility_filter" -> qS5VisibilityFilterSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
+    "q_dedup_minhash_lsh" -> qDedupMinhashLshSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_ann_cosine_topk" -> qAnnCosineTopkSql,
+    "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
+    "q_embed_near_dup" -> qEmbedNearDupSql,
+    "q_text_tokens" -> qTextTokensSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_text_langid" -> qTextLangidSql,
+    "q_text_fingerprint" -> qTextFingerprintSql,
+    "q_multimodal_meta" -> qMultimodalMetaSql)
+}
