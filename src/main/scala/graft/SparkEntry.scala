@@ -27,7 +27,7 @@ object SparkEntry {
   private def qFrontierCrawl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-crawl").toString
-    val graph = Graphs.site02
+    val graph = Graphs.site01
     val frontier = new SparkFrontier(spark, root, partitions = 4,
       stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true)
     frontier.addSeeds(graph.seeds)

@@ -75,6 +75,18 @@ case class HostPartition(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** robots.txt allow/deny predicate (F3). */
+case class RobotsCanFetch(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(url: Any, body: Any): Any =
+    SparkFun.robotsCanFetch(url.asInstanceOf[UTF8String], body.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, b) => s"graft.spark.SparkFun.robotsCanFetch($u, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** Column-level API. */
 object FrontierExprs {
   import org.apache.spark.sql.functions.lit
@@ -90,4 +102,6 @@ object FrontierExprs {
   def seen_key(c: Column): Column = col(SeenKey(expr(c)))
   def host_partition(c: Column, n: Int): Column =
     col(HostPartition(expr(c), expr(lit(n))))
+  def robots_can_fetch(url: Column, body: Column): Column =
+    col(RobotsCanFetch(expr(url), expr(body)))
 }

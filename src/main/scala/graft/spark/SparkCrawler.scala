@@ -12,7 +12,12 @@ final class SparkCrawler(
     frontier: SparkFrontier,
     web: DataFrame, // url, outlinks
     maxNextRequests: Int,
-    images: Option[DataFrame] = None) {
+    images: Option[DataFrame] = None,
+    /** false: don't collect per-URL sequences to the driver (bench mode) */
+    collectSequence: Boolean = true,
+    /** bench mode: synthesize + decode + verify the image payload for
+      * every fetched URL on the executors (the fetch+verify workload) */
+    verifyPayloadOnFetch: Boolean = false) {
 
   private val spark: SparkSession = frontier.spark
   import spark.implicits._
@@ -20,13 +25,29 @@ final class SparkCrawler(
   /** URL sequence per epoch, in dequeue order. */
   val sequence = scala.collection.mutable.ArrayBuffer.empty[List[String]]
   var epochsRun = 0
+  var urlsCrawled = 0L
+  var payloadFailures = 0L
 
   def crawlOnce(epochNo: Long): Boolean = {
     val batch = frontier.nextBatch(maxNextRequests)
-    val ordered = batch.orderBy($"score".asc, $"created_at".asc)
-      .select($"url").as[String].collect().toList
-    if (ordered.isEmpty) { batch.unpersist(); return false }
-    sequence.append(ordered)
+    val n =
+      if (collectSequence) {
+        val ordered = batch.orderBy($"score".asc, $"created_at".asc)
+          .select($"url").as[String].collect().toList
+        if (ordered.nonEmpty) sequence.append(ordered)
+        ordered.length.toLong
+      } else batch.count()
+    if (n == 0) { batch.unpersist(); return false }
+    urlsCrawled += n
+    if (verifyPayloadOnFetch) {
+      // the "fetch": synthesize the deterministic payload, decode it,
+      // check the PSNR/caption invariant — all executor-side
+      payloadFailures += batch.select($"url", $"depth").as[(String, Int)]
+        .map { case (url, depth) =>
+          val row = graft.images.ImageSynth.rowFor(url, depth, 64, 64)
+          if (graft.images.ImageSynth.verifyRow(url, depth, row)) 0L else 1L
+        }.reduce(_ + _)
+    }
 
     // fetch: join the batch against the web graph (and payload table)
     val fetched = images match {

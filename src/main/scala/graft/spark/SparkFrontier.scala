@@ -63,7 +63,11 @@ final class SparkFrontier(
     val maxPerHost: Int = 0,
     /** conformance mode: single global (score, created) order like the
       * single-partition reference; scale mode: per-partition top-k */
-    val globalOrder: Boolean = false) extends Serializable {
+    val globalOrder: Boolean = false,
+    /** domain metadata for robots allow/deny (F3): (host, robots_body).
+      * Small relative to the frontier ⇒ joined broadcast-style; at 100 TB
+      * it lives co-partitioned on the same host buckets as the queue. */
+    val robots: Option[DataFrame] = None) extends Serializable {
 
   import spark.implicits._
 
@@ -108,32 +112,39 @@ final class SparkFrontier(
     * (SURVEY §3.1). Returns the batch and removes it from the queue. */
   def nextBatch(maxNextRequests: Int): DataFrame = {
     val q = queue.read(spark)
-    val batch0 =
-      if (globalOrder)
-        q.orderBy($"score".asc, $"created_at".asc).limit(maxNextRequests)
-      else {
-        val w = Window.partitionBy($"partition_id")
-          .orderBy($"score".asc, $"created_at".asc)
-        q.withColumn("__rank", row_number().over(w))
-          .filter($"__rank" <= maxNextRequests).drop("__rank")
-      }
-    val batch = (if (maxPerHost > 0) {
-      val hw = Window.partitionBy($"host")
+    val rankW =
+      if (globalOrder) Window.orderBy($"score".asc, $"created_at".asc)
+      else Window.partitionBy($"partition_id")
         .orderBy($"score".asc, $"created_at".asc)
-      batch0.withColumn("__hrank", row_number().over(hw))
-        .filter($"__hrank" <= maxPerHost).drop("__hrank")
-    } else batch0).cache()
+    // one pass: rank within partition (+ per-host politeness rank), tag
+    // selected rows; batch and remaining both come from this pass — no
+    // second read, no anti-join
+    var ranked = q.withColumn("__rank", row_number().over(rankW))
+    val selCond =
+      if (maxPerHost > 0) {
+        val hw = Window.partitionBy($"host")
+          .orderBy($"score".asc, $"created_at".asc)
+        ranked = ranked.withColumn("__hrank", row_number().over(hw))
+        $"__rank" <= maxNextRequests && $"__hrank" <= maxPerHost
+      } else $"__rank" <= maxNextRequests
+    val tagged = ranked.withColumn("__sel", selCond).cache()
+    val batch = tagged.filter($"__sel")
+      .select(queueSchema.fieldNames.map(col): _*).cache()
 
     val touched = batch.select($"partition_id").distinct()
       .as[Int].collect().toSet
     if (touched.nonEmpty) {
-      val remaining = queue.readBuckets(spark, Some(touched))
-        .join(batch.select($"fingerprint".as("__f"), $"created_at".as("__c")),
-          $"fingerprint" === $"__f" && $"created_at" === $"__c", "left_anti")
+      // only buckets that lost rows are rewritten; the rest are untouched
+      // manifest references (at 10^10 rows the production layout adds
+      // score-bucketed files so a rewrite touches only the hot files)
+      val remaining = tagged.filter(!$"__sel" &&
+          $"partition_id".isInCollection(touched))
+        .select(queueSchema.fieldNames.map(col): _*)
       queue.replaceBuckets(remaining, epoch,
         alsoClear = touched,
         counters = Map("dequeued" -> batch.count()))
     }
+    tagged.unpersist()
     batch
   }
 
@@ -148,7 +159,17 @@ final class SparkFrontier(
     val pageStates = pages.select($"fingerprint").distinct()
       .withColumn("state", lit(graft.local.States.Crawled))
 
-    val l0 = identity(links, "link_url")
+    val l1 = identity(links, "link_url")
+    // F2/F3: filter_extracted_links — robots deny before the states
+    // lookup (saves the KV fetch, exactly the reference's motivation)
+    val l0 = robots match {
+      case Some(dm) =>
+        l1.join(broadcast(dm.select($"host", $"robots_body")), Seq("host"), "left_outer")
+          .filter(FrontierExprs.robots_can_fetch($"link_url",
+            coalesce($"robots_body", lit(""))))
+          .drop("robots_body")
+      case None => l1
+    }
     // first occurrence wins: order links by the dequeue order of their
     // parent, then extraction order — reproduces the sequential schedule
     // order of the reference manager loop

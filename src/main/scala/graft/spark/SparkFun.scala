@@ -40,4 +40,9 @@ object SparkFun {
   /** CityHash64 of a string (FingerprintPartitioner key). */
   def cityHash64(s: UTF8String): Long =
     graft.core.CityHash.cityHash64(s.getBytes)
+
+  /** robots.txt allow/deny (F3): can `url` be fetched under `body`?
+    * Empty/invalid body allows everything. */
+  def robotsCanFetch(url: UTF8String, body: UTF8String): Boolean =
+    graft.core.Robots.canFetch(url.toString, body.toString)
 }
