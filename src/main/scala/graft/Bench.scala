@@ -53,15 +53,58 @@ object Bench {
     f.delete()
   }
 
+  /** get_next_requests hot path (the BASELINE metric): pre-filled queue
+    * of `n` URLs over `hosts` hosts; dequeue + fetch-verify until drained.
+    * Prefill excluded from the timed window. */
+  private def hotPath(spark: SparkSession, n: Long, hosts: Int,
+      mnrPerPartition: Int): (Long, Double, Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-hot").toString
+    val frontier = new SparkFrontier(spark, root,
+      partitions = spark.sparkContext.defaultParallelism,
+      stateBuckets = spark.sparkContext.defaultParallelism,
+      strategy = ScoreStrategy.BFS, globalOrder = false)
+    frontier.bulkSchedule(spark.range(n).select(
+      concat(lit("http://host"), $"id" % hosts, lit(".example/p/"), $"id").as("url"),
+      (($"id" % 100).cast("double") / 100.0).as("score"),
+      ($"id" % 4).cast("int").as("depth")))
+    val t0 = System.nanoTime()
+    var crawled = 0L
+    var failures = 0L
+    var e = frontier.epoch
+    var continue = true
+    while (continue) {
+      val batch = frontier.nextBatch(mnrPerPartition)
+      val (cnt, fails) = batch.select($"url", $"depth").as[(String, Int)]
+        .map { case (url, depth) =>
+          val row = graft.images.ImageSynth.rowFor(url, depth, 64, 64)
+          (1L, if (graft.images.ImageSynth.verifyRow(url, depth, row)) 0L else 1L)
+        }.toDF("c", "f")
+        .agg(coalesce(sum($"c"), lit(0L)), coalesce(sum($"f"), lit(0L)))
+        .as[(Long, Long)].first()
+      batch.unpersist()
+      crawled += cnt
+      failures += fails
+      e += 1
+      continue = cnt > 0
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    deleteRec(new java.io.File(root))
+    (crawled, sec, failures)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowCpus = math.max(1, cpus / 4)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     // frontier size tracks SF: sf0.1 → 600 hosts × 585 urls ≈ 351k URLs
     val hosts = math.max(6, (sf * 6000).toInt)
     val (depth, fanout) = (4, 8)
+    val hotN = math.max(10000L, (sf * 10000000L).toLong) // sf0.1 → 1M URLs
 
-    // ---- operator suite at full parallelism ----
+    // ---- operator suite + full crawl pipeline at full parallelism ----
     val spark32 = session(cpus)
     // warmup (JIT + codegen caches) with a tiny crawl
     crawl(spark32, hosts = 4, depth = 3, fanout = 4, mnrPerPartition = 512)
@@ -72,22 +115,23 @@ object Bench {
         try fn(spark32, sfDir).count() catch { case _: Throwable => } }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // ---- frontier crawl at 4N cores ----
-    val (u32, t32, fail32) = crawl(spark32, hosts, depth, fanout, 4096)
+    val (cu, ct, cFail) = crawl(spark32, hosts, depth, fanout, 16384)
+    // ---- get_next_requests hot path at 4N cores ----
+    val (u32, t32, fail32) = hotPath(spark32, hotN, hosts, 16384)
     spark32.stop()
 
-    // ---- frontier crawl at N cores (same input, shuffle scaled) ----
-    val spark8 = session(math.max(1, cpus / 4))
-    val (u8, t8, fail8) = crawl(spark8, hosts, depth, fanout, 4096)
+    // ---- same hot path at N cores (same input, shuffle scaled) ----
+    val spark8 = session(lowCpus)
+    val (u8, t8, fail8) = hotPath(spark8, hotN, hosts, 16384)
     spark8.stop()
 
     val ups32 = u32 / t32
     val ups8 = u8 / t8
-    val efficiency = (ups32 / ups8) / 4.0
+    val efficiency = (ups32 / ups8) / (cpus.toDouble / lowCpus)
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d]) + operator suite","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"urls":$u32,"urls_per_sec_${cpus}":$ups32%.1f,"urls_per_sec_${math.max(1, cpus / 4)}":$ups8%.1f,"seconds_${cpus}":$t32%.1f,"seconds_${math.max(1, cpus / 4)}":$t8%.1f,"scaling_efficiency":$efficiency%.3f,"payload_failures":${fail32 + fail8},"reference_pages_per_sec":20}}""")
+      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d]) + operator suite","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"crawl_pipeline_urls":$cu,"crawl_pipeline_urls_per_sec":${cu / ct}%.1f,"hot_path_urls":$u32,"urls_per_sec_$cpus":$ups32%.1f,"urls_per_sec_$lowCpus":$ups8%.1f,"seconds_$cpus":$t32%.1f,"seconds_$lowCpus":$t8%.1f,"scaling_efficiency":$efficiency%.3f,"payload_failures":${cFail + fail32 + fail8},"reference_pages_per_sec":20}}""")
   }
 }

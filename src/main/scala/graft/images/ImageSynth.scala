@@ -16,6 +16,11 @@ import graft.core.{Hashing, UrlUtil}
   * exercises both verification paths of the per-row invariant. */
 object ImageSynth {
 
+  // ImageIO's default file-backed stream cache serializes every encode/
+  // decode through temp-file IO — with 32 executor threads it inverts
+  // scaling. Memory-cached streams keep the codecs CPU-bound.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int,
       h: Int, fmt: String, caption: String, phash: Long)
 

@@ -101,7 +101,11 @@ final class BucketStore(val root: String, val bucketCol: String,
 
   private def writeEpochData(df: DataFrame, epoch: Long, tag: String): Map[Int, String] = {
     val dir = Paths.get(root, "data", s"epoch=$epoch$tag")
-    df.write.mode("overwrite").partitionBy(bucketCol).parquet(dir.toString)
+    // cluster by bucket before the partitioned write: one file per bucket
+    // instead of (tasks × buckets) shards — file count stays flat as
+    // parallelism grows
+    df.repartition(org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(dir.toString)
     leafDirs(dir).map { case (k, rel) => k -> s"$root/$rel" }
   }
 

@@ -36,18 +36,22 @@ final class SparkCrawler(
           .select($"url").as[String].collect().toList
         if (ordered.nonEmpty) sequence.append(ordered)
         ordered.length.toLong
+      } else if (verifyPayloadOnFetch) {
+        // one job: the "fetch" — synthesize the deterministic payload,
+        // decode it, check the PSNR/caption invariant (executor-side) —
+        // fused with the batch count
+        val (cnt, fails) = batch.select($"url", $"depth").as[(String, Int)]
+          .map { case (url, depth) =>
+            val row = graft.images.ImageSynth.rowFor(url, depth, 64, 64)
+            (1L, if (graft.images.ImageSynth.verifyRow(url, depth, row)) 0L else 1L)
+          }.toDF("c", "f")
+          .agg(coalesce(sum($"c"), lit(0L)), coalesce(sum($"f"), lit(0L)))
+          .as[(Long, Long)].first()
+        payloadFailures += fails
+        cnt
       } else batch.count()
     if (n == 0) { batch.unpersist(); return false }
     urlsCrawled += n
-    if (verifyPayloadOnFetch) {
-      // the "fetch": synthesize the deterministic payload, decode it,
-      // check the PSNR/caption invariant — all executor-side
-      payloadFailures += batch.select($"url", $"depth").as[(String, Int)]
-        .map { case (url, depth) =>
-          val row = graft.images.ImageSynth.rowFor(url, depth, 64, 64)
-          if (graft.images.ImageSynth.verifyRow(url, depth, row)) 0L else 1L
-        }.reduce(_ + _)
-    }
 
     // fetch: join the batch against the web graph (and payload table)
     val fetched = images match {
@@ -64,7 +68,7 @@ final class SparkCrawler(
       .withColumnRenamed("pos", "link_idx")
       .withColumnRenamed("col", "link_url")
       .filter($"link_url".isNotNull)
-    frontier.processCrawled(pages, links, epochNo)
+    frontier.processCrawled(pages, links, epochNo, nPages = n)
     batch.unpersist()
     true
   }

@@ -108,6 +108,16 @@ final class SparkFrontier(
     queue.append(df, epoch, Map("seeds" -> seedUrls.length.toLong))
   }
 
+  /** Bulk-schedule a frontier (bench/prefill path): df must carry
+    * (url, score, depth); identity columns and partitioning are computed
+    * here, created_at from a hash (arbitrary-but-deterministic order). */
+  def bulkSchedule(df: DataFrame): Unit = {
+    val rows = identity(df, "url")
+      .withColumn("created_at", pmod(xxhash64(col("url")), lit(1L << 40)))
+      .select(queueSchema.fieldNames.map(col): _*)
+    queue.append(rows, epoch)
+  }
+
   /** Dequeue one batch: the reference get_next_requests hot path
     * (SURVEY §3.1). Returns the batch and removes it from the queue. */
   def nextBatch(maxNextRequests: Int): DataFrame = {
@@ -131,8 +141,10 @@ final class SparkFrontier(
     val batch = tagged.filter($"__sel")
       .select(queueSchema.fieldNames.map(col): _*).cache()
 
-    val touched = batch.select($"partition_id").distinct()
-      .as[Int].collect().toSet
+    // one job: touched buckets + total + per-partition lineage counters
+    val perPartition = batch.groupBy($"partition_id").count()
+      .as[(Int, Long)].collect()
+    val touched = perPartition.map(_._1).toSet
     if (touched.nonEmpty) {
       // only buckets that lost rows are rewritten; the rest are untouched
       // manifest references (at 10^10 rows the production layout adds
@@ -142,7 +154,8 @@ final class SparkFrontier(
         .select(queueSchema.fieldNames.map(col): _*)
       queue.replaceBuckets(remaining, epoch,
         alsoClear = touched,
-        counters = Map("dequeued" -> batch.count()))
+        counters = Map("dequeued" -> perPartition.map(_._2).sum) ++
+          perPartition.map { case (p, n) => s"dequeued.p$p" -> n })
     }
     tagged.unpersist()
     batch
@@ -155,7 +168,8 @@ final class SparkFrontier(
     * Pipeline (reference links_extracted, SURVEY §3.2): identity columns →
     * in-batch first-occurrence dedup → URL-seen anti-join (states ∪ this
     * batch's pages) → strategy score → queue append + states merge. */
-  def processCrawled(pages: DataFrame, links: DataFrame, epochNo: Long): Unit = {
+  def processCrawled(pages: DataFrame, links: DataFrame, epochNo: Long,
+      nPages: Long = -1L): Unit = {
     val pageStates = pages.select($"fingerprint").distinct()
       .withColumn("state", lit(graft.local.States.Crawled))
 
@@ -222,9 +236,10 @@ final class SparkFrontier(
     if (touched.nonEmpty) {
       val old = states.readBuckets(spark, Some(touched))
         .join(updates.select($"fingerprint".as("__f")), $"fingerprint" === $"__f", "left_anti")
+      val nCrawled = if (nPages >= 0) nPages else pages.count()
       states.replaceBuckets(old.union(updates), epochNo,
         alsoClear = touched,
-        counters = Map("crawled" -> pages.count(), "queued" -> nScheduled))
+        counters = Map("crawled" -> nCrawled, "queued" -> nScheduled))
     }
     scheduled.unpersist()
     updates.unpersist()
