@@ -183,6 +183,26 @@ object PipelineOps {
        |         row_number() OVER (PARTITION BY url ORDER BY ts DESC, event_id DESC) AS rn
        |  FROM u) WHERE rn = 1""".stripMargin
 
+  /** J3: canonical solver — collapse a redirect chain to its first URL
+    * (contrib/canonicalsolvers/basic.py:37-49 Corresponding2First). The
+    * chain here is each user's event-ordered URL trail. Scale: window
+    * over the chain key, narrow. */
+  def qJ3CanonicalFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    urls(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("url").as("canonical_url"))
+  }
+
+  val qJ3CanonicalFirstSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT user_id, url AS canonical_url FROM (
+       |  SELECT user_id, url,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+       |  FROM u) WHERE rn = 1""".stripMargin
+
   /** 2.10: epoch/stream aggregation — tumbling 1h event-time windows per
     * type (the stats-log stream). Scale: two-level agg, watermarkable. */
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame =
@@ -537,6 +557,7 @@ object PipelineOps {
     "q_j5_overused_filter" -> (qJ5OverusedFilter _),
     "q_f7_link_classifier" -> (qF7LinkClassifier _),
     "q_s8_states_last_wins" -> (qS8StatesLastWins _),
+    "q_j3_canonical_first" -> (qJ3CanonicalFirst _),
     "q_stream_window" -> (qStreamWindow _),
     "q_s5_visibility_filter" -> (qS5VisibilityFilter _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -562,6 +583,7 @@ object PipelineOps {
     "q_j5_overused_filter" -> qJ5OverusedFilterSql,
     "q_f7_link_classifier" -> qF7LinkClassifierSql,
     "q_s8_states_last_wins" -> qS8StatesLastWinsSql,
+    "q_j3_canonical_first" -> qJ3CanonicalFirstSql,
     "q_stream_window" -> qStreamWindowSql,
     "q_s5_visibility_filter" -> qS5VisibilityFilterSql,
     "q_dedup_exact" -> qDedupExactSql,

@@ -11,7 +11,7 @@ import scala.jdk.CollectionConverters._
   *
   * Layout:
   * {{{
-  * root/data/epoch=E/<bucketCol>=K/part-*.parquet   (immutable once committed)
+  * root/data/commit=V/<bucketCol>=K/part-*.parquet  (immutable once committed)
   * root/manifest/m<V>.json   — bucket -> list of leaf dirs, + counters
   * root/_CURRENT             — current manifest version (atomic rename)
   * }}}
@@ -99,20 +99,25 @@ final class BucketStore(val root: String, val bucketCol: String,
       }.toMap
   }
 
-  private def writeEpochData(df: DataFrame, epoch: Long, tag: String): Map[Int, String] = {
-    val dir = Paths.get(root, "data", s"epoch=$epoch$tag")
+  private def writeEpochData(df: DataFrame, commitV: Long): Map[Int, String] = {
+    // every commit writes a fresh immutable directory (keyed by manifest
+    // version, which is strictly monotonic) — a rewrite can never clobber
+    // files still referenced by the live manifest, and readers of the
+    // previous snapshot stay consistent (Iceberg snapshot semantics)
+    val dir = Paths.get(root, "data", s"commit=$commitV")
+    require(!Files.exists(dir), s"commit dir already exists: $dir")
     // cluster by bucket before the partitioned write: one file per bucket
     // instead of (tasks × buckets) shards — file count stays flat as
     // parallelism grows
     df.repartition(org.apache.spark.sql.functions.col(bucketCol))
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(dir.toString)
+      .write.mode("errorifexists").partitionBy(bucketCol).parquet(dir.toString)
     leafDirs(dir).map { case (k, rel) => k -> s"$root/$rel" }
   }
 
   /** Append rows (must contain bucketCol). Untouched buckets unchanged. */
   def append(df: DataFrame, epoch: Long, counters: Map[String, Long] = Map.empty): Unit = {
     val m = readManifest()
-    val added = writeEpochData(df, epoch, "a")
+    val added = writeEpochData(df, m.version + 1)
     val merged = (m.bucketPaths.keySet ++ added.keySet).map { k =>
       k -> (m.bucketPaths.getOrElse(k, Nil) ++ added.get(k).toList)
     }.toMap
@@ -125,7 +130,7 @@ final class BucketStore(val root: String, val bucketCol: String,
       alsoClear: Set[Int] = Set.empty,
       counters: Map[String, Long] = Map.empty): Unit = {
     val m = readManifest()
-    val written = writeEpochData(df, epoch, "r")
+    val written = writeEpochData(df, m.version + 1)
     val merged = (m.bucketPaths.keySet ++ written.keySet).flatMap { k =>
       if (written.contains(k)) Some(k -> List(written(k)))
       else if (alsoClear.contains(k)) None

@@ -29,7 +29,7 @@ final class SparkCrawler(
   var payloadFailures = 0L
 
   def crawlOnce(epochNo: Long): Boolean = {
-    val batch = frontier.nextBatch(maxNextRequests)
+    val batch = frontier.nextBatch(maxNextRequests, atEpoch = epochNo)
     val n =
       if (collectSequence) {
         val ordered = batch.orderBy($"score".asc, $"created_at".asc)
@@ -80,6 +80,18 @@ final class SparkCrawler(
     while (continue && epochsRun < maxEpochs) {
       continue = crawlOnce(e + 1)
       if (continue) { e += 1; epochsRun += 1 }
+    }
+    sequence.toList.flatten
+  }
+
+  /** Run exactly n epochs, advancing the clock even when a batch is
+    * empty (revisit mode: future crawl_at rows become visible later). */
+  def runEpochs(n: Int): List[String] = {
+    var e = frontier.epoch
+    (0 until n).foreach { _ =>
+      crawlOnce(e + 1)
+      e += 1
+      epochsRun += 1
     }
     sequence.toList.flatten
   }

@@ -67,7 +67,10 @@ final class SparkFrontier(
     /** domain metadata for robots allow/deny (F3): (host, robots_body).
       * Small relative to the frontier ⇒ joined broadcast-style; at 100 TB
       * it lives co-partitioned on the same host buckets as the queue. */
-    val robots: Option[DataFrame] = None) extends Serializable {
+    val robots: Option[DataFrame] = None,
+    /** revisit scheduling (S5/2.10): crawled pages re-enter the queue
+      * `interval` epochs later (crawl_at visibility at dequeue) */
+    val revisitIntervalEpochs: Option[Long] = None) extends Serializable {
 
   import spark.implicits._
 
@@ -75,15 +78,24 @@ final class SparkFrontier(
     StructField("fingerprint", StringType), StructField("url", StringType),
     StructField("host", StringType), StructField("partition_id", IntegerType),
     StructField("score", DoubleType), StructField("created_at", LongType),
-    StructField("depth", IntegerType)))
+    StructField("depth", IntegerType), StructField("crawl_at", LongType)))
   val statesSchema: StructType = StructType(Seq(
     StructField("fingerprint", StringType), StructField("state", IntegerType),
     StructField("sbucket", IntegerType)))
+  /** write-mostly per-document record (S7; reference sqlalchemy
+    * models.py:9-30 metadata table) */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("fingerprint", StringType), StructField("url", StringType),
+    StructField("depth", IntegerType), StructField("score", DoubleType),
+    StructField("fetched_epoch", LongType), StructField("status", StringType),
+    StructField("partition_id", IntegerType)))
 
   val queue = new BucketStore(s"$root/queue", "partition_id", partitions)
   val states = new BucketStore(s"$root/states", "sbucket", stateBuckets)
+  val metadata = new BucketStore(s"$root/metadata", "partition_id", partitions)
   queue.emptySchema = Some(queueSchema)
   states.emptySchema = Some(statesSchema)
+  metadata.emptySchema = Some(metadataSchema)
 
   def epoch: Long = math.max(queue.readManifest().epoch, 0L)
 
@@ -104,6 +116,7 @@ final class SparkFrontier(
       .withColumn("score", strategy.seedScore)
       .withColumn("created_at", $"seq".cast(LongType))
       .withColumn("depth", lit(0))
+      .withColumn("crawl_at", lit(0L))
       .select(queueSchema.fieldNames.map(col): _*)
     queue.append(df, epoch, Map("seeds" -> seedUrls.length.toLong))
   }
@@ -114,14 +127,18 @@ final class SparkFrontier(
   def bulkSchedule(df: DataFrame): Unit = {
     val rows = identity(df, "url")
       .withColumn("created_at", pmod(xxhash64(col("url")), lit(1L << 40)))
+      .withColumn("crawl_at", lit(0L))
       .select(queueSchema.fieldNames.map(col): _*)
     queue.append(rows, epoch)
   }
 
   /** Dequeue one batch: the reference get_next_requests hot path
     * (SURVEY §3.1). Returns the batch and removes it from the queue. */
-  def nextBatch(maxNextRequests: Int): DataFrame = {
-    val q = queue.read(spark)
+  def nextBatch(maxNextRequests: Int, atEpoch: Long = -1L): DataFrame = {
+    // crawl_at visibility (delayed revisit): invisible rows stay queued
+    val nowEpoch = if (atEpoch >= 0) atEpoch else epoch
+    val q0 = queue.read(spark)
+    val q = q0.filter($"crawl_at" <= nowEpoch)
     val rankW =
       if (globalOrder) Window.orderBy($"score".asc, $"created_at".asc)
       else Window.partitionBy($"partition_id")
@@ -152,6 +169,10 @@ final class SparkFrontier(
       val remaining = tagged.filter(!$"__sel" &&
           $"partition_id".isInCollection(touched))
         .select(queueSchema.fieldNames.map(col): _*)
+        // not-yet-visible rows of the rewritten buckets must ride along
+        .union(q0.filter($"crawl_at" > nowEpoch &&
+          $"partition_id".isInCollection(touched))
+          .select(queueSchema.fieldNames.map(col): _*))
       queue.replaceBuckets(remaining, epoch,
         alsoClear = touched,
         counters = Map("dequeued" -> perPartition.map(_._2).sum) ++
@@ -217,13 +238,35 @@ final class SparkFrontier(
       .withColumn("depth", $"parent_depth" + 1)
       .withColumn("score", strategy.linkScore($"parent_depth"))
       .withColumn("created_at", lit(epochBase) + seqCol)
+      .withColumn("crawl_at", lit(0L))
       .select(col("link_url").as("url"), $"fingerprint", $"host",
-        $"partition_id", $"score", $"created_at", $"depth")
+        $"partition_id", $"score", $"created_at", $"depth", $"crawl_at")
       .select(queueSchema.fieldNames.map(col): _*)
       .cache()
 
     val nScheduled = scheduled.count()
-    queue.append(scheduled, epochNo, Map("scheduled" -> nScheduled))
+    // revisit: crawled pages re-enter the queue, visible `interval`
+    // epochs from now (reference crawl_at, hbase/__init__.py:124)
+    val toAppend = revisitIntervalEpochs match {
+      case Some(interval) =>
+        val revisits = pages
+          .withColumn("host", url_host($"url"))
+          .withColumn("partition_id", host_partition($"host", partitions))
+          .withColumn("crawl_at", lit(epochNo + interval))
+          .select(queueSchema.fieldNames.map(col): _*)
+        scheduled.union(revisits)
+      case None => scheduled
+    }
+    queue.append(toAppend, epochNo, Map("scheduled" -> nScheduled))
+
+    // metadata sink (S7): one record per fetched document per epoch
+    metadata.append(
+      pages.select($"fingerprint", $"url", $"depth", $"score")
+        .withColumn("fetched_epoch", lit(epochNo))
+        .withColumn("status", lit("200"))
+        .withColumn("partition_id", host_partition(url_host($"url"), partitions))
+        .select(metadataSchema.fieldNames.map(col): _*),
+      epochNo)
 
     // states merge: crawled pages + newly queued links (QUEUED)
     val updates = pageStates
