@@ -102,7 +102,7 @@ object Bench {
     // frontier size tracks SF: sf0.1 → 600 hosts × 585 urls ≈ 351k URLs
     val hosts = math.max(6, (sf * 6000).toInt)
     val (depth, fanout) = (4, 8)
-    val hotN = math.max(10000L, (sf * 10000000L).toLong) // sf0.1 → 1M URLs
+    val hotN = math.max(10000L, (sf * 4000000L).toLong) // sf0.1 → 400k URLs
 
     // ---- operator suite + full crawl pipeline at full parallelism ----
     val spark32 = session(cpus)
@@ -116,14 +116,32 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (cu, ct, cFail) = crawl(spark32, hosts, depth, fanout, 16384)
-    // ---- get_next_requests hot path at 4N cores ----
-    val (u32, t32, fail32) = hotPath(spark32, hotN, hosts, 16384)
     spark32.stop()
 
-    // ---- same hot path at N cores (same input, shuffle scaled) ----
-    val spark8 = session(lowCpus)
-    val (u8, t8, fail8) = hotPath(spark8, hotN, hosts, 16384)
-    spark8.stop()
+    // ---- get_next_requests hot path: same input, same TOTAL batch size
+    // (per-partition budget scaled inversely with partition count, like a
+    // real cluster resize keeps MAX_NEXT_REQUESTS per batch constant).
+    // Levels alternate, two runs each, best-of taken — the single-machine
+    // environment has minutes-scale background noise. ----
+    val totalBatch = 262144
+    var fail32 = 0L
+    var fail8 = 0L
+    var u32 = 0L
+    var u8 = 0L
+    var t32 = Double.MaxValue
+    var t8 = Double.MaxValue
+    (1 to 2).foreach { _ =>
+      val sH = session(cpus)
+      val (uh, th, fh) = hotPath(sH, hotN, hosts, totalBatch / cpus)
+      sH.stop()
+      if (th < t32) { t32 = th; u32 = uh }
+      fail32 += fh
+      val sL = session(lowCpus)
+      val (ul, tl, fl) = hotPath(sL, hotN, hosts, totalBatch / lowCpus)
+      sL.stop()
+      if (tl < t8) { t8 = tl; u8 = ul }
+      fail8 += fl
+    }
 
     val ups32 = u32 / t32
     val ups8 = u8 / t8
