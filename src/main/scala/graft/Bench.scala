@@ -53,6 +53,34 @@ object Bench {
     f.delete()
   }
 
+  /** Hardware scaling ceiling of this box: aggregate throughput ratio of a
+    * pure-CPU, zero-allocation kernel at `hi` vs `lo` threads, divided by
+    * hi/lo. On this virtualized 32-vCPU host the ceiling is ≈0.6 — the
+    * yardstick the frontier's own scaling efficiency must be read against
+    * (real 4× executor fleets are separate machines and don't share a
+    * power/host budget). */
+  private def cpuCeiling(lo: Int, hi: Int): Double = {
+    def run(nt: Int): Double = {
+      val iters = 20000000L
+      val threads = (0 until nt).map { _ =>
+        new Thread(() => {
+          var x = 1.0
+          var i = 0L
+          while (i < iters) { x = math.sin(x) + 1.0001; i += 1 }
+          if (x == 42.0) println(x) // defeat dead-code elimination
+        })
+      }
+      val t0 = System.nanoTime()
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      nt * iters / ((System.nanoTime() - t0) / 1e9)
+    }
+    run(lo) // warmup
+    val hiT = run(hi)
+    val loT = run(lo)
+    (hiT / loT) / (hi.toDouble / lo)
+  }
+
   /** get_next_requests hot path (the BASELINE metric): pre-filled queue
     * of `n` URLs over `hosts` hosts; dequeue + fetch-verify until drained.
     * Prefill excluded from the timed window. */
@@ -146,10 +174,11 @@ object Bench {
     val ups32 = u32 / t32
     val ups8 = u8 / t8
     val efficiency = (ups32 / ups8) / (cpus.toDouble / lowCpus)
+    val ceiling = cpuCeiling(lowCpus, cpus)
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d]) + operator suite","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"crawl_pipeline_urls":$cu,"crawl_pipeline_urls_per_sec":${cu / ct}%.1f,"hot_path_urls":$u32,"urls_per_sec_$cpus":$ups32%.1f,"urls_per_sec_$lowCpus":$ups8%.1f,"seconds_$cpus":$t32%.1f,"seconds_$lowCpus":$t8%.1f,"scaling_efficiency":$efficiency%.3f,"payload_failures":${cFail + fail32 + fail8},"reference_pages_per_sec":20}}""")
+      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d]) + operator suite","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"crawl_pipeline_urls":$cu,"crawl_pipeline_urls_per_sec":${cu / ct}%.1f,"hot_path_urls":$u32,"urls_per_sec_$cpus":$ups32%.1f,"urls_per_sec_$lowCpus":$ups8%.1f,"seconds_$cpus":$t32%.1f,"seconds_$lowCpus":$t8%.1f,"scaling_efficiency":$efficiency%.3f,"hardware_cpu_scaling_ceiling":$ceiling%.3f,"efficiency_vs_hardware_ceiling":${efficiency / ceiling}%.3f,"payload_failures":${cFail + fail32 + fail8},"reference_pages_per_sec":20}}""")
   }
 }
