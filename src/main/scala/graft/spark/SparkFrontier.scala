@@ -70,7 +70,10 @@ final class SparkFrontier(
     val robots: Option[DataFrame] = None,
     /** revisit scheduling (S5/2.10): crawled pages re-enter the queue
       * `interval` epochs later (crawl_at visibility at dequeue) */
-    val revisitIntervalEpochs: Option[Long] = None) extends Serializable {
+    val revisitIntervalEpochs: Option[Long] = None,
+    /** partitioned Bloom prefilter in front of the exact URL-seen
+      * anti-join (north rule); purely join-pruning, set stays exact */
+    val useBloom: Boolean = true) extends Serializable {
 
   import spark.implicits._
 
@@ -93,6 +96,7 @@ final class SparkFrontier(
   val queue = new BucketStore(s"$root/queue", "partition_id", partitions)
   val states = new BucketStore(s"$root/states", "sbucket", stateBuckets)
   val metadata = new BucketStore(s"$root/metadata", "partition_id", partitions)
+  val bloomSeen = new BloomSeen(s"$root/states")
   queue.emptySchema = Some(queueSchema)
   states.emptySchema = Some(statesSchema)
   metadata.emptySchema = Some(metadataSchema)
@@ -213,12 +217,30 @@ final class SparkFrontier(
     val deduped = l0.withColumn("__occ", row_number().over(firstW))
       .filter($"__occ" === 1).drop("__occ")
 
-    // URL-seen: exact anti-join against the states store; links to pages
-    // crawled in THIS batch are also seen (manager processes page_crawled
-    // before the next page's links_extracted)
-    val statesDf = states.read(spark).select($"fingerprint")
-      .union(pageStates.select($"fingerprint"))
-    val fresh = deduped.join(statesDf, Seq("fingerprint"), "left_anti")
+    // URL-seen: partitioned-Bloom prefilter, then the exact anti-join
+    // against the states store. Bloom-negative links are definitely
+    // unseen and skip the join (at 10^10 rows that's most of the probe
+    // side); positives go through the exact join, so the seen SET stays
+    // exact. Links to pages crawled in THIS batch are seen too (manager
+    // processes page_crawled before the next page's links_extracted) —
+    // they're not in the persisted bloom yet, so that check is a separate
+    // broadcast anti-join against the (small) batch.
+    val notSeenPersisted =
+      if (useBloom) {
+        val bc = bloomSeen.broadcastFor(spark, (0 until stateBuckets).toSet)
+        val mightContain = udf((fp: String, sb: Int) =>
+          bc.value.get(sb).exists(_.mightContainString(fp)))
+        val withB = deduped.withColumn("__sb", sbucketCol($"fingerprint"))
+        val definiteNew = withB.filter(!mightContain($"fingerprint", $"__sb")).drop("__sb")
+        val maybeSeen = withB.filter(mightContain($"fingerprint", $"__sb")).drop("__sb")
+        definiteNew.unionByName(
+          maybeSeen.join(states.read(spark).select($"fingerprint"),
+            Seq("fingerprint"), "left_anti"))
+      } else
+        deduped.join(states.read(spark).select($"fingerprint"),
+          Seq("fingerprint"), "left_anti")
+    val fresh = notSeenPersisted.join(
+      broadcast(pageStates.select($"fingerprint")), Seq("fingerprint"), "left_anti")
 
     // deterministic created_at = schedule order. Conformance mode uses a
     // global dense rank (single-partition window — fine for oracle runs);
@@ -283,6 +305,11 @@ final class SparkFrontier(
       states.replaceBuckets(old.union(updates), epochNo,
         alsoClear = touched,
         counters = Map("crawled" -> nCrawled, "queued" -> nScheduled))
+      // refresh the touched buckets' Bloom sidecars from the committed
+      // snapshot (production: incremental merge of the update keys)
+      if (useBloom)
+        bloomSeen.rebuild(states.readBuckets(spark, Some(touched)),
+          touched, states.currentVersion)
     }
     scheduled.unpersist()
     updates.unpersist()
