@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spark.SparkTestBase
+
+/** Physical-plan quality gates: filters reach the parquet scan, scans
+  * prune columns, small sides broadcast, hot paths stay in whole-stage
+  * codegen. These are the properties that survive a 100× scale-up. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = PipelineOps.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("visibility filter is pushed down to the parquet scan") {
+    val plan = formatted("q_s5_visibility_filter")
+    assert(plan.contains("PushedFilters:"), plan)
+    assert("PushedFilters: \\[[^\\]]*(LessThanOrEqual\\(ts|GreaterThan\\(value)".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("scans prune to the referenced columns only") {
+    val plan = formatted("q_text_tokens")
+    // documents has 5 columns; the query needs doc_id + text
+    assert(plan.contains("ReadSchema"), plan)
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source"), read)
+  }
+
+  test("ANN top-k broadcasts the single query vector") {
+    val plan = formatted("q_ann_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("seen anti-join is a real join, not a subquery re-scan per row") {
+    val plan = formatted("q_f1_seen_antijoin")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dequeue/host-cap windows partition by their keys (no global sort)") {
+    val plan = formatted("q_s3_dequeue_topk")
+    assert(plan.contains("Window"), plan)
+    // partitioned window ⇒ hashpartitioning exchange, not a single-range sort
+    assert(plan.contains("hashpartitioning"), plan)
+    val cap = formatted("q_a2_host_cap")
+    assert(cap.contains("hashpartitioning"), cap)
+  }
+
+  test("scalar pipeline stages run inside whole-stage codegen") {
+    for (q <- Seq("q_t3_score_bucket", "q_multimodal_meta")) {
+      val plan = formatted(q)
+      assert(plan.contains("WholeStageCodegen"), s"$q:\n$plan")
+    }
+  }
+
+  test("quality scoring is one scan-project pass (no shuffle); " +
+       "higher-order array fns are Spark codegen-fallback by design") {
+    val plan = formatted("q_text_quality")
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.linesIterator.count(_.startsWith("(")) <= 4, plan) // scan, c2r, project
+  }
+}
