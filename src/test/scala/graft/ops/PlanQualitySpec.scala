@@ -55,8 +55,12 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("scalar pipeline stages run inside whole-stage codegen") {
     for (q <- Seq("q_t3_score_bucket", "q_multimodal_meta")) {
-      val plan = formatted(q)
-      assert(plan.contains("WholeStageCodegen"), s"$q:\n$plan")
+      // execute first: under AQE the final plan (with codegen stage
+      // markers) only exists after the run
+      val df = PipelineOps.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"$q:\n$plan")
     }
   }
 
