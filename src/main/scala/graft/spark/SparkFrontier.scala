@@ -61,6 +61,12 @@ final class SparkFrontier(
     val strategy: ScoreStrategy = ScoreStrategy.BFS,
     /** politeness: max requests per host per epoch (0 = unlimited) */
     val maxPerHost: Int = 0,
+    /** salted skew-splitting of hot domains (north rule): the per-host
+      * politeness window partitions by (host, salt) with the budget split
+      * across salts — a 10^8-URL host becomes `hostSalts` parallel window
+      * groups instead of one straggler task, while the host-global cap
+      * stays ≤ maxPerHost. Requires maxPerHost % hostSalts == 0. */
+    val hostSalts: Int = 1,
     /** conformance mode: single global (score, created) order like the
       * single-partition reference; scale mode: per-partition top-k */
     val globalOrder: Boolean = false,
@@ -153,10 +159,19 @@ final class SparkFrontier(
     var ranked = q.withColumn("__rank", row_number().over(rankW))
     val selCond =
       if (maxPerHost > 0) {
-        val hw = Window.partitionBy($"host")
-          .orderBy($"score".asc, $"created_at".asc)
+        require(hostSalts == 1 || maxPerHost % hostSalts == 0,
+          s"maxPerHost=$maxPerHost must divide evenly across hostSalts=$hostSalts")
+        val (hw, perGroupCap) =
+          if (hostSalts > 1) {
+            val salt = pmod(xxhash64($"fingerprint"), lit(hostSalts))
+            (Window.partitionBy($"host", salt)
+              .orderBy($"score".asc, $"created_at".asc),
+              maxPerHost / hostSalts)
+          } else
+            (Window.partitionBy($"host")
+              .orderBy($"score".asc, $"created_at".asc), maxPerHost)
         ranked = ranked.withColumn("__hrank", row_number().over(hw))
-        $"__rank" <= maxNextRequests && $"__hrank" <= maxPerHost
+        $"__rank" <= maxNextRequests && $"__hrank" <= perGroupCap
       } else $"__rank" <= maxNextRequests
     val tagged = ranked.withColumn("__sel", selCond).cache()
     val batch = tagged.filter($"__sel")
