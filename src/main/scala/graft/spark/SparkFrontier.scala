@@ -131,6 +131,19 @@ final class SparkFrontier(
     queue.append(df, epoch, Map("seeds" -> seedUrls.length.toLong))
   }
 
+  /** Seed injection from a DataFrame with a `url` column (streaming /
+    * bulk path): seed score from the strategy, depth 0, no states check
+    * (matches strategy.read_seeds). */
+  def addSeedsDF(urls: DataFrame): Unit = {
+    val df = identity(urls.select(col("url")), "url")
+      .withColumn("score", strategy.seedScore)
+      .withColumn("created_at", pmod(xxhash64(col("url")), lit(1L << 40)))
+      .withColumn("depth", lit(0))
+      .withColumn("crawl_at", lit(0L))
+      .select(queueSchema.fieldNames.map(col): _*)
+    queue.append(df, epoch)
+  }
+
   /** Bulk-schedule a frontier (bench/prefill path): df must carry
     * (url, score, depth); identity columns and partitioning are computed
     * here, created_at from a hash (arbitrary-but-deterministic order). */
