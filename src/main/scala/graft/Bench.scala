@@ -83,9 +83,11 @@ object Bench {
 
   /** get_next_requests hot path (the BASELINE metric): pre-filled queue
     * of `n` URLs over `hosts` hosts; dequeue + fetch-verify until drained.
-    * Prefill excluded from the timed window. */
+    * Prefill excluded from the timed window. Also reports the band-scan
+    * fraction of the first dequeue (files read / files in the queue) —
+    * the O(batch)-not-O(queue) evidence. */
   private def hotPath(spark: SparkSession, n: Long, hosts: Int,
-      mnrPerPartition: Int): (Long, Double, Long) = {
+      mnrPerPartition: Int): (Long, Double, Long, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-hot").toString
@@ -100,10 +102,14 @@ object Bench {
     val t0 = System.nanoTime()
     var crawled = 0L
     var failures = 0L
+    var scanFraction = -1.0
     var e = frontier.epoch
     var continue = true
     while (continue) {
       val batch = frontier.nextBatch(mnrPerPartition)
+      if (scanFraction < 0 && frontier.lastScan.totalPaths > 0)
+        scanFraction = frontier.lastScan.scannedPaths.toDouble /
+          frontier.lastScan.totalPaths
       val (cnt, fails) = batch.select($"url", $"depth").as[(String, Int)]
         .map { case (url, depth) =>
           val row = graft.images.ImageSynth.rowFor(url, depth, 64, 64)
@@ -119,7 +125,7 @@ object Bench {
     }
     val sec = (System.nanoTime() - t0) / 1e9
     deleteRec(new java.io.File(root))
-    (crawled, sec, failures)
+    (crawled, sec, failures, scanFraction)
   }
 
   def main(args: Array[String]): Unit = {
@@ -149,36 +155,43 @@ object Bench {
     // ---- get_next_requests hot path: same input, same TOTAL batch size
     // (per-partition budget scaled inversely with partition count, like a
     // real cluster resize keeps MAX_NEXT_REQUESTS per batch constant).
-    // Levels alternate, two runs each, best-of taken — the single-machine
-    // environment has minutes-scale background noise. ----
-    val totalBatch = 262144
+    // Levels alternate, THREE runs each, best-of taken, and the hardware
+    // CPU-scaling ceiling is measured INTERLEAVED with the same cadence
+    // (median-of-3) — the single-machine environment has minutes-scale
+    // background noise, so ceiling and frontier numbers must share it. ----
+    val totalBatch = 65536 // several epochs at sf0.1 — exercises the
+                           // per-epoch band-pruned dequeue, not one big drain
     var fail32 = 0L
     var fail8 = 0L
     var u32 = 0L
     var u8 = 0L
     var t32 = Double.MaxValue
     var t8 = Double.MaxValue
-    (1 to 2).foreach { _ =>
+    var scanFrac = 1.0
+    val ceilings = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to 3).foreach { _ =>
       val sH = session(cpus)
-      val (uh, th, fh) = hotPath(sH, hotN, hosts, totalBatch / cpus)
+      val (uh, th, fh, sfr) = hotPath(sH, hotN, hosts, totalBatch / cpus)
       sH.stop()
       if (th < t32) { t32 = th; u32 = uh }
+      if (sfr > 0) scanFrac = math.min(scanFrac, sfr)
       fail32 += fh
       val sL = session(lowCpus)
-      val (ul, tl, fl) = hotPath(sL, hotN, hosts, totalBatch / lowCpus)
+      val (ul, tl, fl, _) = hotPath(sL, hotN, hosts, totalBatch / lowCpus)
       sL.stop()
       if (tl < t8) { t8 = tl; u8 = ul }
       fail8 += fl
+      ceilings += cpuCeiling(lowCpus, cpus)
     }
 
     val ups32 = u32 / t32
     val ups8 = u8 / t8
     val efficiency = (ups32 / ups8) / (cpus.toDouble / lowCpus)
-    val ceiling = cpuCeiling(lowCpus, cpus)
+    val ceiling = ceilings.sorted.apply(ceilings.length / 2) // median
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
-      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d]) + operator suite","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"crawl_pipeline_urls":$cu,"crawl_pipeline_urls_per_sec":${cu / ct}%.1f,"hot_path_urls":$u32,"urls_per_sec_$cpus":$ups32%.1f,"urls_per_sec_$lowCpus":$ups8%.1f,"seconds_$cpus":$t32%.1f,"seconds_$lowCpus":$t8%.1f,"scaling_efficiency":$efficiency%.3f,"hardware_cpu_scaling_ceiling":$ceiling%.3f,"efficiency_vs_hardware_ceiling":${efficiency / ceiling}%.3f,"payload_failures":${cFail + fail32 + fail8},"reference_pages_per_sec":20}}""")
+      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d], fetch+decode+PSNR-verify per URL)","value":$ups32%.1f,"unit":"urls/sec","queries":$qs,"operator_suite_sec":$total%.3f,"sf":"$sfDir","frontier":{"crawl_pipeline_urls":$cu,"crawl_pipeline_urls_per_sec":${cu / ct}%.1f,"hot_path_urls":$u32,"urls_per_sec_$cpus":$ups32%.1f,"urls_per_sec_$lowCpus":$ups8%.1f,"seconds_$cpus":$t32%.1f,"seconds_$lowCpus":$t8%.1f,"scaling_efficiency":$efficiency%.3f,"hardware_cpu_scaling_ceiling_median3":$ceiling%.3f,"efficiency_vs_hardware_ceiling":${efficiency / ceiling}%.3f,"dequeue_scan_fraction_first_epoch":$scanFrac%.4f,"payload_failures":${cFail + fail32 + fail8},"reference_pages_per_sec":20}}""")
   }
 }

@@ -40,8 +40,25 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.ops.PipelineOps.queries + ("q_frontier_crawl_dfs" -> (qFrontierCrawl _))
 
+  /** The expected DFS crawl order of SITE_01 at max_next_requests=10
+    * under the (score ASC, created_at ASC) queue ordering — the
+    * reference's published DFS SEQUENCE_01_C (tests/backends.py:376-521),
+    * also pinned by SequenceSpec. Inline VALUES oracle so the driver's
+    * DuckDB compare covers the flagship end-to-end crawl. */
+  private val dfsSite01Mnr10: Seq[String] =
+    Seq("1", "11", "12", "111", "112", "121", "122",
+      "1111", "1112", "1121", "1122", "1211", "1212", "1221", "1222")
+      .map("http://aaa.com/" + _)
+
+  private val qFrontierCrawlSql: String =
+    dfsSite01Mnr10.zipWithIndex
+      .map { case (u, i) => s"('$u', $i)" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(url, crawl_pos)")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (the frontier crawl — its oracle is the reference sequence suite). */
-  def oracleSql: Map[String, String] = graft.ops.PipelineOps.oracleSql
+    * the same parquet tables (the frontier crawl's oracle is its pinned
+    * reference sequence as an inline VALUES table). */
+  def oracleSql: Map[String, String] =
+    graft.ops.PipelineOps.oracleSql +
+      ("q_frontier_crawl_dfs" -> qFrontierCrawlSql)
 }

@@ -96,6 +96,43 @@ object UrlUtil {
     * (reference frontera/core/__init__.py:10-25, key_type="domain"). */
   def slotKey(url: String): String = urlparse(url).hostname.getOrElse("")
 
+  // ---- discovery-strategy helpers (strategy/discovery/__init__.py) ----
+
+  /** Multi-part public suffixes we special-case (PSL-lite: the reference
+    * uses the full publicsuffix list via `PublicSuffixList`; this covers
+    * the common two-label suffixes and defaults to last-two-labels —
+    * documented simplification, the suffix list is data not logic). */
+  private val TwoPartSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "co.in", "net.in", "org.in", "com.mx", "com.ar", "com.tr",
+    "co.nz", "net.nz", "org.nz", "com.sg", "co.za", "co.kr",
+    "com.hk", "com.tw", "com.my", "co.id", "com.ua", "com.pl")
+
+  /** 2nd-level domain name of a hostname (reference `_get_2ndlevel_name`,
+    * discovery/__init__.py:523: public-suffix + one label). */
+  def sld(hostname: String): String = {
+    val h = hostname.toLowerCase.stripSuffix(".")
+    val labels = h.split('.')
+    if (labels.length <= 2) h
+    else {
+      val lastTwo = labels.takeRight(2).mkString(".")
+      if (TwoPartSuffixes.contains(lastTwo)) labels.takeRight(3).mkString(".")
+      else lastTwo
+    }
+  }
+
+  /** is_home_page_url (discovery/__init__.py:32-36): no query, and path
+    * empty or one of the default home paths. */
+  private val HomePaths: Set[String] = Set(
+    "", "/", "index.html", "index.htm", "default.htm", "default.html")
+  def isHomePage(url: String): Boolean = {
+    val p = urlparse(url)
+    p.query.isEmpty && HomePaths.contains(p.path)
+  }
+
   // ---- canonicalization (w3lib.url.canonicalize_url parity) ----
 
   // urllib.parse.quote's always-safe set (Python 3.7+ includes '~').
@@ -147,11 +184,13 @@ object UrlUtil {
   }
 
   /** w3lib _unquotepath: %2F/%3F stay encoded (they would change path
-    * semantics if decoded), everything else percent-decodes. */
+    * semantics if decoded), everything else percent-decodes. The escape
+    * is case-preserving ('%2f' stays '%2f'), matching w3lib, which
+    * protects each case variant with its own literal replacement. */
   private def unquotePath(path: String): Array[Byte] = {
     val protectd = path
-      .replace("%2f", "%252F").replace("%2F", "%252F")
-      .replace("%3f", "%253F").replace("%3F", "%253F")
+      .replace("%2f", "%252f").replace("%2F", "%252F")
+      .replace("%3f", "%253f").replace("%3F", "%253F")
     unquoteToBytes(protectd, plus = false)
   }
 

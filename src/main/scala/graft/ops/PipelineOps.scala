@@ -165,6 +165,87 @@ object PipelineOps {
        |  CASE event_type WHEN 'view' THEN 0.8 WHEN 'click' THEN 0.7 ELSE 0.5 END AS cls
        |FROM u""".stripMargin
 
+  /** A4/discovery: per-domain max_pages budget (DISCOVERY_MAX_PAGES=100,
+    * discovery/__init__.py:414-454): each domain schedules at most 100
+    * pages, best-scored first. Scale: bounded window per domain key. */
+  def qDiscoveryBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("hostnum"))
+      .orderBy(col("score").asc, col("event_id").asc)
+    urls(spark, dir)
+      .withColumn("score", round(col("value"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .groupBy(col("hostnum")).agg(count(lit(1)).as("queued_pages"))
+  }
+
+  val qDiscoveryBudgetSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT hostnum, count(*) AS queued_pages FROM (
+       |  SELECT hostnum,
+       |         row_number() OVER (PARTITION BY hostnum
+       |                            ORDER BY round(value, 6) ASC, event_id ASC) AS rn
+       |  FROM u) WHERE rn <= 100 GROUP BY hostnum""".stripMargin
+
+  /** F5/discovery: same-domain link filter (_is_from_same_domain,
+    * discovery/__init__.py:516-523) — keep links whose 2nd-level domain
+    * equals the parent page's. Parent/link hosts are constructed with
+    * subdomain levels so the SLD extraction actually bites.
+    * Scale: pure scan-project-filter. */
+  def qF5SameDomain(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events").select(
+      concat(lit("www.h"), col("user_id") % 50, lit(".example")).as("parent_host"),
+      concat(lit("sub"), col("event_id") % 3, lit(".h"),
+        (col("user_id") + col("event_id")) % 50, lit(".example")).as("link_host"),
+      col("event_id"))
+    def sldOf(c: Column) = regexp_extract(c, "[^.]+\\.[^.]+$", 0)
+    base.filter(sldOf(col("parent_host")) === sldOf(col("link_host")))
+      .groupBy(sldOf(col("parent_host")).as("domain"))
+      .agg(count(lit(1)).as("kept"))
+  }
+
+  val qF5SameDomainSql: String =
+    """WITH p AS (
+      |  SELECT 'www.h' || (user_id % 50) || '.example' AS parent_host,
+      |         'sub' || (event_id % 3) || '.h' || ((user_id + event_id) % 50) || '.example' AS link_host
+      |  FROM events)
+      |SELECT regexp_extract(parent_host, '[^.]+\.[^.]+$') AS domain, count(*) AS kept
+      |FROM p
+      |WHERE regexp_extract(parent_host, '[^.]+\.[^.]+$')
+      |    = regexp_extract(link_host, '[^.]+\.[^.]+$')
+      |GROUP BY 1""".stripMargin
+
+  /** F7/discovery: home-page classification (is_home_page_url,
+    * discovery/__init__.py:32-36) + score justification shape
+    * (justify_request_score_by_hostname, :47-50 — surrogate integer hash
+    * here; the crc32 variant is golden-tested in DiscoverySpec). The
+    * Spark side classifies with the engine's native IsHomePage
+    * expression; the oracle derives home-ness independently. */
+  def qHomeJustify(spark: SparkSession, dir: String): DataFrame = {
+    val u2 = urls(spark, dir).withColumn("url2",
+      when(col("event_id") % 7 === 0,
+        concat(lit("http://host"), col("hostnum"), lit(".example/")))
+        .otherwise(col("url")))
+    val cls = when(graft.spark.FrontierExprs.is_home_page(col("url2")), 0.8)
+      .otherwise(0.5)
+    val perhost = floor(abs(((col("hostnum") * 2654435761L) % 2147483647L)
+      .cast(DoubleType) / 2147483647.0) * 10) / 10.0
+    u2.select(col("url2").as("url"),
+        round(perhost + greatest(lit(0.01), cls - 0.01) / 10.0, 6).as("justified"))
+      .distinct()
+  }
+
+  val qHomeJustifySql: String =
+    s"""WITH u AS ($urlsSql),
+       |u2 AS (SELECT CASE WHEN event_id % 7 = 0
+       |                THEN 'http://host' || hostnum || '.example/'
+       |                ELSE url END AS url2,
+       |              hostnum FROM u)
+       |SELECT DISTINCT url2 AS url,
+       |  round(floor(abs(((hostnum * 2654435761) % 2147483647)::DOUBLE / 2147483647.0) * 10) / 10
+       |    + greatest(0.01, (CASE WHEN url2 LIKE '%.example/' THEN 0.8 ELSE 0.5 END) - 0.01) / 10.0, 6)
+       |    AS justified
+       |FROM u2""".stripMargin
+
   /** S8: states merge — last state per URL wins (latest event).
     * Scale: window over url key == the MERGE INTO states per epoch. */
   def qS8StatesLastWins(spark: SparkSession, dir: String): DataFrame = {
@@ -242,19 +323,30 @@ object PipelineOps {
     """SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** Word-3-gram Jaccard near-dup pairs (blocked by lang).
-    * Scale: shingle explode → self-equi-join on shingle (hash join),
-    * block by a cheap key to keep candidate pairs linear-ish. */
+  /** Word-3-gram Jaccard near-dup pairs (blocked by lang), computed over
+    * the document-frequency-capped shingle space: shingles appearing in
+    * more than `NgramDfCap` documents are dropped BEFORE the self-join —
+    * a hot shingle ("of the ...") would otherwise produce O(df²)
+    * candidate rows, the classic all-pairs-on-stopwords scale killer.
+    * Jaccard is then exact over the remaining (discriminative) shingle
+    * space — standard practice for shingle-based near-dup at scale.
+    * Scale: df filter = one extra groupBy; self-equi-join stays sparse. */
+  private val NgramDfCap = 50
+
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
-    val sh = docs
+    val sh0 = docs
       .withColumn("shingle", explode(
         when(size(col("toks")) >= 3,
           transform(sequence(lit(1), size(col("toks")) - 2),
             i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
           .otherwise(array())))
       .select(col("doc_id"), col("lang"), col("shingle")).distinct()
+    val rare = sh0.groupBy(col("lang"), col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= NgramDfCap)
+      .select(col("lang"), col("shingle"))
+    val sh = sh0.join(rare, Seq("lang", "shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -274,7 +366,7 @@ object PipelineOps {
   }
 
   val qDedupNgramJaccardSql: String =
-    """WITH sh AS (
+    s"""WITH sh0 AS (
       |  SELECT DISTINCT doc_id, lang, shingle
       |  FROM (SELECT doc_id, lang,
       |          unnest(CASE WHEN len(string_split(text,' ')) >= 3 THEN
@@ -282,6 +374,9 @@ object PipelineOps {
       |              i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
       |          ELSE [] END) AS shingle
       |        FROM documents)),
+      |rare AS (SELECT lang, shingle FROM sh0
+      |         GROUP BY lang, shingle HAVING count(*) <= $NgramDfCap),
+      |sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (lang, shingle)),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -392,44 +487,60 @@ object PipelineOps {
       |WHERE e.vec_id % 5 = 0 AND e.vec_id <> 0
       |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin
 
-  /** Sign-random-projection LSH buckets over embeddings (the scale path
-    * for ANN): 8-bit signature from fixed pseudo-random hyperplanes
-    * (deterministic ±1 weights from (dim_index*8+bit) parity pattern).
-    * Output: bucket sizes — candidate sets for bucketed search. */
-  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    // deterministic ±1 weight for (bit b, dim i): sign = parity of
-    // popcount(i * (b + 3)) — cheap, engine-agnostic integer arithmetic
-    def bitExpr(b: Int): String = {
-      // sum_i w(b,i) * x_i > 0
+  /** Deterministic sign-random-projection signature arithmetic, shared
+    * by the LSH bucket query and the LSH-blocked near-dup join:
+    * ±1 weight for (bit b, dim i) = parity of popcount(i * (b + 3)) —
+    * cheap, engine-agnostic integer arithmetic, identical in Spark SQL
+    * and DuckDB. */
+  private def lshSigSpark: String = {
+    def bitExpr(b: Int): String =
       s"""(aggregate(zip_with(embedding, sequence(0, 63),
          |  (x, i) -> CAST(x AS DOUBLE) * (CAST(bit_count(i * ${b + 3}) % 2 AS DOUBLE) * 2.0 - 1.0)),
          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0.0)""".stripMargin
-    }
-    val sig = (0 until 8).map(b =>
+    (0 until 8).map(b =>
       s"(CASE WHEN ${bitExpr(b)} THEN ${1 << b} ELSE 0 END)").mkString(" + ")
-    t(spark, dir, "embeddings")
-      .selectExpr("vec_id", s"CAST($sig AS INT) AS bucket")
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
-  val qAnnLshBucketsSql: String = {
+  private def lshSigDuck: String = {
     def bitExpr(b: Int): String =
       s"""(list_sum(list_transform(list_zip(embedding, range(0, 64)),
          |  s -> s[1]::DOUBLE * (CAST(bit_count(CAST(s[2] * ${b + 3} AS BIGINT)) % 2 AS DOUBLE) * 2.0 - 1.0))) > 0.0)""".stripMargin
-    val sig = (0 until 8).map(b =>
+    (0 until 8).map(b =>
       s"(CASE WHEN ${bitExpr(b)} THEN ${1 << b} ELSE 0 END)").mkString(" + ")
-    s"""SELECT CAST($sig AS INT) AS bucket, count(*) AS n
-       |FROM embeddings GROUP BY 1""".stripMargin
   }
 
-  /** Embedding near-dup pairs: cosine ≥ 0.35 within label blocks (threshold fits the synthetic embedding spread).
-    * Scale: label (or LSH bucket) blocking keeps the pair join sparse. */
+  /** Sign-random-projection LSH buckets over embeddings (the scale path
+    * for ANN): 8-bit signature from fixed pseudo-random hyperplanes.
+    * Output: bucket sizes — candidate sets for bucketed search. */
+  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .selectExpr("vec_id", s"CAST($lshSigSpark AS INT) AS bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  val qAnnLshBucketsSql: String =
+    s"""SELECT CAST($lshSigDuck AS INT) AS bucket, count(*) AS n
+       |FROM embeddings GROUP BY 1""".stripMargin
+
+  /** Embedding near-dup pairs: candidates blocked by (sign-LSH band,
+    * label), exact cosine ≥ 0.35 confirms (threshold fits the synthetic
+    * embedding spread). Two 4-bit bands of the 8-bit signature are
+    * probed (pairs agreeing on EITHER band are candidates) — the
+    * standard banding recall/cost dial. Scale: unlike raw label
+    * blocking, the LSH band bounds candidates per block (a 10⁹-row
+    * label would otherwise go quadratic); each band join is a sparse
+    * hash join, all hash-partitioned. */
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
       .filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id"), col("label"), col("embedding"))
+      .selectExpr("vec_id", "label", "embedding", s"CAST($lshSigSpark AS INT) AS sig")
+      .withColumn("bk", explode(array(
+        concat(lit("b0_"), pmod(col("sig"), lit(16))),
+        concat(lit("b1_"), floor(col("sig") / 16)))))
+      .select(col("vec_id"), col("label"), col("embedding"), col("bk"))
     val joined = emb.as("a").join(emb.as("b"),
-      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      col("a.bk") === col("b.bk") &&
+        col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
     val dot = expr(
       "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
     def norm(side: String) = expr(
@@ -437,18 +548,25 @@ object PipelineOps {
     joined.withColumn("cos", round(dot / norm("a") / norm("b"), 4))
       .filter(col("cos") >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .distinct() // a pair may match both bands
   }
 
   val qEmbedNearDupSql: String =
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    s"""WITH e0 AS (
+      |  SELECT vec_id, label, embedding, CAST($lshSigDuck AS INT) AS sig
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |e AS (
+      |  SELECT vec_id, label, embedding, 'b0_' || (sig % 16) AS bk FROM e0
+      |  UNION ALL
+      |  SELECT vec_id, label, embedding, 'b1_' || (sig // 16) AS bk FROM e0)
+      |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  round(
       |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> s[1]::DOUBLE * s[2]::DOUBLE))
       |    / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
       |    / sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS cos
-      |FROM embeddings a JOIN embeddings b
-      |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
-      |  AND round(
+      |FROM e a JOIN e b
+      |  ON a.bk = b.bk AND a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(
       |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> s[1]::DOUBLE * s[2]::DOUBLE))
       |    / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
       |    / sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))), 4) >= 0.35""".stripMargin
@@ -556,6 +674,9 @@ object PipelineOps {
     "q_a4_domain_counters" -> (qA4DomainCounters _),
     "q_j5_overused_filter" -> (qJ5OverusedFilter _),
     "q_f7_link_classifier" -> (qF7LinkClassifier _),
+    "q_discovery_budget" -> (qDiscoveryBudget _),
+    "q_f5_same_domain" -> (qF5SameDomain _),
+    "q_home_justify" -> (qHomeJustify _),
     "q_s8_states_last_wins" -> (qS8StatesLastWins _),
     "q_j3_canonical_first" -> (qJ3CanonicalFirst _),
     "q_stream_window" -> (qStreamWindow _),
@@ -582,6 +703,9 @@ object PipelineOps {
     "q_a4_domain_counters" -> qA4DomainCountersSql,
     "q_j5_overused_filter" -> qJ5OverusedFilterSql,
     "q_f7_link_classifier" -> qF7LinkClassifierSql,
+    "q_discovery_budget" -> qDiscoveryBudgetSql,
+    "q_f5_same_domain" -> qF5SameDomainSql,
+    "q_home_justify" -> qHomeJustifySql,
     "q_s8_states_last_wins" -> qS8StatesLastWinsSql,
     "q_j3_canonical_first" -> qJ3CanonicalFirstSql,
     "q_stream_window" -> qStreamWindowSql,

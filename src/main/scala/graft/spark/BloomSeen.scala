@@ -9,59 +9,98 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * filter keyed by canonicalized-URL hash ... sharded by host-hash").
   *
   * One Bloom per states bucket, persisted as a sidecar next to the states
-  * manifests and updated for touched buckets at every states merge. At
-  * link-filter time the touched buckets' blooms are broadcast and probed
-  * per row: a negative is a *definite* not-seen (skips the exact join),
-  * a positive falls through to the exact anti-join — so the URL-seen SET
-  * remains exact (the reference's dedup is exact; the Bloom is purely a
-  * join-pruning device, sized so the probe side shrinks by ~1/FPP).
+  * manifests. Keys are the murmur3-128 seen-key of the fingerprint
+  * (`SparkFun.seenKey`), probed by the native `BloomSeenProbe` expression
+  * inside whole-stage codegen. A negative is a *definite* not-seen (skips
+  * the exact join); a positive falls through to the exact anti-join — so
+  * the URL-seen SET remains exact (the reference's dedup is exact; the
+  * Bloom is purely a join-pruning device).
+  *
+  * Consistency (sidecars lag the states table by design):
+  *  - every sidecar is stamped with the states-store version it reflects
+  *    (`b<k>_CURRENT` holds the version; the engine compares it against
+  *    the manifest's per-bucket last-touched version at probe time and
+  *    routes buckets with absent/stale sidecars through the exact
+  *    anti-join — a crash between the states commit and the sidecar
+  *    write can therefore never produce a false negative)
+  *  - updates are INCREMENTAL: the epoch's new keys are built into
+  *    per-bucket delta blooms distributed, then merged into the loaded
+  *    sidecar — cost scales with the update, not the bucket
   *
   * At 10^10 URLs: ~10^7 keys per bucket (1024 buckets) ⇒ ~12 MB/bucket at
   * 1% FPP; only the buckets an epoch actually links into are loaded.
   */
-final class BloomSeen(root: String, fpp: Double = 0.01) extends Serializable {
+final class BloomSeen(root: String, fpp: Double = 0.01,
+    expectedPerBucket: Long = 1000000L) extends Serializable {
 
   private def dir = Paths.get(root, "bloom")
   private def path(bucket: Int, version: Long) = dir.resolve(s"b${bucket}_v$version.bin")
   private def currentPath(bucket: Int) = dir.resolve(s"b${bucket}_CURRENT")
 
-  def load(bucket: Int): Option[BloomFilter] = {
+  /** States-store version this bucket's sidecar reflects (None = never built). */
+  def version(bucket: Int): Option[Long] = {
     val cur = currentPath(bucket)
-    if (!Files.exists(cur)) return None
-    val v = Files.readString(cur).trim.toLong
-    val in = Files.newInputStream(path(bucket, v))
-    try Some(BloomFilter.readFrom(in)) finally in.close()
+    if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong) else None
   }
 
-  /** Rebuild the blooms of `buckets` from the given states snapshot
-    * (fingerprint, sbucket). Build is distributed (one partial bloom per
-    * partition, merged per bucket); persisted with an atomic pointer
-    * flip, version = the committing manifest version. */
-  def rebuild(statesDf: DataFrame, buckets: Set[Int], version: Long): Unit = {
-    if (buckets.isEmpty) return
-    import statesDf.sparkSession.implicits._
+  def load(bucket: Int): Option[BloomFilter] =
+    version(bucket).map { v =>
+      val in = Files.newInputStream(path(bucket, v))
+      try BloomFilter.readFrom(in) finally in.close()
+    }
+
+  private def persist(bucket: Int, bloom: BloomFilter, version: Long): Unit = {
+    Files.createDirectories(dir)
+    val out = Files.newOutputStream(path(bucket, version))
+    try bloom.writeTo(out) finally out.close()
+    val tmp = dir.resolve(s"b${bucket}_CURRENT.tmp$version")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, currentPath(bucket), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Distributed per-bucket blooms over (sbucket, fingerprint) rows:
+    * one partial bloom per task partition, merged per bucket. */
+  private def buildPerBucket(df: DataFrame): Map[Int, BloomFilter] = {
+    import df.sparkSession.implicits._
     val theFpp = fpp
-    val perBucket = statesDf
-      .select($"sbucket", $"fingerprint").as[(Int, String)]
+    val expected = expectedPerBucket
+    df.select($"sbucket", $"fingerprint").as[(Int, String)]
       .rdd
       .mapPartitions { it =>
         val blooms = scala.collection.mutable.HashMap.empty[Int, BloomFilter]
         it.foreach { case (b, fp) =>
-          blooms.getOrElseUpdate(b, BloomFilter.create(1000000, theFpp))
-            .putString(fp)
+          blooms.getOrElseUpdate(b, BloomFilter.create(expected, theFpp))
+            .putLong(graft.core.Hashing.seenKey(fp))
         }
         blooms.iterator
       }
       .reduceByKey { (a, b) => a.mergeInPlace(b); a }
-      .collect()
-    Files.createDirectories(dir)
-    perBucket.foreach { case (bucket, bloom) =>
-      val out = Files.newOutputStream(path(bucket, version))
-      try bloom.writeTo(out) finally out.close()
-      val tmp = dir.resolve(s"b${bucket}_CURRENT.tmp$version")
-      Files.writeString(tmp, version.toString)
-      Files.move(tmp, currentPath(bucket), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      .collect().toMap
+  }
+
+  /** Full rebuild of `buckets` from the given states snapshot
+    * (fingerprint, sbucket); buckets with no rows get an empty sidecar
+    * so their freshness stamp still advances. */
+  def rebuild(statesDf: DataFrame, buckets: Set[Int], version: Long): Unit = {
+    if (buckets.isEmpty) return
+    val built = buildPerBucket(statesDf)
+    buckets.foreach { b =>
+      persist(b, built.getOrElse(b, BloomFilter.create(expectedPerBucket, fpp)),
+        version)
+    }
+  }
+
+  /** Incremental update: build delta blooms over just the epoch's new
+    * keys and merge them into the loaded sidecars (or a fresh empty
+    * bloom for first-touch buckets). Cost = O(update), not O(bucket). */
+  def mergeUpdates(updatesDf: DataFrame, buckets: Set[Int], version: Long): Unit = {
+    if (buckets.isEmpty) return
+    val deltas = buildPerBucket(updatesDf)
+    buckets.foreach { b =>
+      val base = load(b).getOrElse(BloomFilter.create(expectedPerBucket, fpp))
+      deltas.get(b).foreach(base.mergeInPlace)
+      persist(b, base, version)
     }
   }
 

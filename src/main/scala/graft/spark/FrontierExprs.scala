@@ -45,6 +45,22 @@ case class UrlHost(child: Expression) extends StringKernel {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+case class Sld(child: Expression) extends StringKernel {
+  protected def kernel = "sld"
+  override protected def nullSafeEval(v: Any): Any =
+    SparkFun.sld(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class IsHomePage(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(v: Any): Any =
+    SparkFun.isHomePage(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.SparkFun.isHomePage($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class SignedCrc32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(v: Any): Any =
@@ -87,6 +103,26 @@ case class RobotsCanFetch(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Partitioned-Bloom URL-seen probe: `mightContain(blooms(bucket), key)`
+  * as a native expression — stays inside whole-stage codegen (the naive
+  * alternative, a Scala UDF, pays row ser/de in the hottest link-filter
+  * stage). The broadcast bloom map rides as a plan reference object. */
+case class BloomSeenProbe(
+    blooms: org.apache.spark.broadcast.Broadcast[
+      Map[Int, org.apache.spark.util.sketch.BloomFilter]],
+    left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(bucket: Any, key: Any): Any =
+    SparkFun.bloomProbe(blooms, bucket.asInstanceOf[Int], key.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomSeenBc", blooms,
+      classOf[Object].getName)
+    defineCodeGen(ctx, ev, (b, k) => s"graft.spark.SparkFun.bloomProbe($bcRef, $b, $k)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API. */
 object FrontierExprs {
   import org.apache.spark.sql.functions.lit
@@ -104,4 +140,20 @@ object FrontierExprs {
     col(HostPartition(expr(c), expr(lit(n))))
   def robots_can_fetch(url: Column, body: Column): Column =
     col(RobotsCanFetch(expr(url), expr(body)))
+  def sld(c: Column): Column = col(Sld(expr(c)))
+  def is_home_page(c: Column): Column = col(IsHomePage(expr(c)))
+  /** justify_request_score_by_hostname (discovery/__init__.py:47-50):
+    * `floor(abs(crc32s(host)/2147483647)*10)/10 + max(0.01, score-0.01)/10`
+    * — embeds the host hash as the score's integer decile so one domain's
+    * pages cluster in the queue's score bands. */
+  def justify_score(host: Column, score: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, abs, greatest}
+    floor(abs(signed_crc32(host).cast("double") / 2147483647.0) * 10) / 10.0 +
+      greatest(lit(0.01), score - 0.01) / 10.0
+  }
+  def bloom_seen_probe(
+      blooms: org.apache.spark.broadcast.Broadcast[
+        Map[Int, org.apache.spark.util.sketch.BloomFilter]],
+      bucket: Column, key: Column): Column =
+    col(BloomSeenProbe(blooms, expr(bucket), expr(key)))
 }

@@ -1,7 +1,8 @@
 package graft.spark
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import java.nio.file.{Files, Paths, Path, StandardCopyOption, StandardOpenOption}
+import java.nio.channels.FileChannel
 import scala.jdk.CollectionConverters._
 
 /** Bucket-partitioned, manifest-committed table — Iceberg-style semantics
@@ -9,23 +10,30 @@ import scala.jdk.CollectionConverters._
   * production these calls map 1:1 onto an Iceberg table with a
   * `bucket(N, key)` partition spec, MERGE INTO, and snapshot commits).
   *
-  * Layout:
+  * Layout (with the optional second-level `bandCol`, used by the queue
+  * for the score-banded file layout — the T3/T4 rowkey semantics,
+  * reference hbase/__init__.py:129-196):
   * {{{
-  * root/data/commit=V/<bucketCol>=K/part-*.parquet  (immutable once committed)
-  * root/manifest/m<V>.json   — bucket -> list of leaf dirs, + counters
+  * root/data/commit=V/<bucketCol>=K[/<bandCol>=B]/part-*.parquet
+  * root/manifest/m<V>.json   — bucket -> leaf dirs, per-path row counts,
+  *                             per-bucket last-touched version, counters
   * root/_CURRENT             — current manifest version (atomic rename)
   * }}}
   *
   * Scale properties:
-  *  - append = add files to touched buckets only (no rewrite)
-  *  - replace = rewrite only touched buckets (dequeue/merge), other
-  *    buckets' files are referenced untouched by the new manifest
+  *  - append = add files to touched buckets/bands only (no rewrite)
+  *  - replacePaths = rewrite only the named leaf dirs (a dequeue touches
+  *    only the best score bands); other paths stay referenced untouched
   *  - commit = write manifest, then atomically flip _CURRENT; a crashed
   *    epoch leaves the previous snapshot intact (resume-from-checkpoint)
-  *  - per-epoch counters ride in the manifest = per-partition lineage
+  *  - per-path row counts ride in the manifest (parquet footer stats at
+  *    commit time) so a dequeue plans its band prefix without any read
+  *  - commits are serialized (JVM monitor + OS file lock) and clean up
+  *    orphan commit dirs from crashed writers, so a crash between the
+  *    data write and the _CURRENT flip never bricks the store
   */
 final class BucketStore(val root: String, val bucketCol: String,
-    val buckets: Int) extends Serializable {
+    val buckets: Int, val bandCol: Option[String] = None) extends Serializable {
 
   private def currentPath = Paths.get(root, "_CURRENT")
   private def manifestPath(v: Long) = Paths.get(root, "manifest", s"m$v.json")
@@ -33,9 +41,16 @@ final class BucketStore(val root: String, val bucketCol: String,
   def currentVersion: Long =
     if (Files.exists(currentPath)) Files.readString(currentPath).trim.toLong else -1L
 
-  /** manifest = (epoch, bucket -> leaf dirs, counters) */
+  /** manifest = (epoch, bucket -> leaf dirs, per-path rows,
+    * bucket -> last-touched version, counters, durable props).
+    * `counters` are per-commit lineage; `props` carry FORWARD across
+    * commits unless overwritten (Iceberg table-properties analog) — used
+    * e.g. for the seed stream's last-applied-batch idempotence marker. */
   final case class Manifest(version: Long, epoch: Long,
-      bucketPaths: Map[Int, List[String]], counters: Map[String, Long])
+      bucketPaths: Map[Int, List[String]], counters: Map[String, Long],
+      pathRows: Map[String, Long] = Map.empty,
+      bucketVersions: Map[Int, Long] = Map.empty,
+      props: Map[String, String] = Map.empty)
 
   def readManifest(): Manifest = {
     val v = currentVersion
@@ -46,7 +61,22 @@ final class BucketStore(val root: String, val bucketCol: String,
       json("buckets").obj.map { case (k, paths) =>
         k.toInt -> paths.arr.map(_.str)
       },
-      json("counters").obj.map { case (k, n) => k -> n.toLong })
+      json("counters").obj.map { case (k, n) => k -> n.toLong },
+      json.obj.get("rows").map(_.obj.map { case (k, n) => k -> n.toLong })
+        .getOrElse(Map.empty),
+      json.obj.get("bucketv").map(_.obj.map { case (k, n) => k.toInt -> n.toLong })
+        .getOrElse(Map.empty),
+      json.obj.get("props").map(_.obj.map { case (k, s) => k -> s.str })
+        .getOrElse(Map.empty))
+  }
+
+  /** Band index of a leaf path (banded stores only). */
+  def bandOf(path: String): Int = bandCol match {
+    case Some(bc) =>
+      path.split('/').find(_.startsWith(s"$bc="))
+        .map(_.stripPrefix(s"$bc=").toInt)
+        .getOrElse(sys.error(s"no $bc= level in path: $path"))
+    case None => 0
   }
 
   // -- minimal JSON (flat, known shape) -------------------------------
@@ -58,7 +88,16 @@ final class BucketStore(val root: String, val bucketCol: String,
     val countersJson = m.counters.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${jstr(k)}:$v"
     }.mkString("{", ",", "}")
-    val json = s"""{"epoch":${m.epoch},"buckets":$bucketsJson,"counters":$countersJson}"""
+    val rowsJson = m.pathRows.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:$v"
+    }.mkString("{", ",", "}")
+    val bvJson = m.bucketVersions.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k.toString)}:$v"
+    }.mkString("{", ",", "}")
+    val propsJson = m.props.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:${jstr(v)}"
+    }.mkString("{", ",", "}")
+    val json = s"""{"epoch":${m.epoch},"buckets":$bucketsJson,"counters":$countersJson,"rows":$rowsJson,"bucketv":$bvJson,"props":$propsJson}"""
     Files.createDirectories(manifestPath(m.version).getParent)
     Files.writeString(manifestPath(m.version), json)
     val tmp = Paths.get(root, s"_CURRENT.tmp${m.version}")
@@ -70,14 +109,19 @@ final class BucketStore(val root: String, val bucketCol: String,
   /** Read the whole table (bucket column reconstructed from dir layout). */
   def read(spark: SparkSession): DataFrame = readBuckets(spark, None)
 
-  /** Read only the given buckets — partition pruning by construction.
-    * Reads are normalized to `schema` (the epoch=… lineage dir level
-    * would otherwise surface as an extra partition column). */
+  /** Read only the given buckets — partition pruning by construction. */
   def readBuckets(spark: SparkSession, only: Option[Set[Int]]): DataFrame = {
     val m = readManifest()
     val paths = m.bucketPaths
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .values.flatten.toSeq.distinct
+    readPaths(spark, paths)
+  }
+
+  /** Read only the given leaf dirs (band-pruned dequeue scans).
+    * Reads are normalized to `schema` (the commit=… / band=… dir levels
+    * would otherwise surface as extra partition columns). */
+  def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val schema = emptySchema.getOrElse(sys.error(s"$root: schema not set"))
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -89,62 +133,153 @@ final class BucketStore(val root: String, val bucketCol: String,
   /** Declared schema (also used for reads before the first commit). */
   @transient var emptySchema: Option[org.apache.spark.sql.types.StructType] = None
 
-  private def leafDirs(epochDir: Path): Map[Int, String] = {
-    if (!Files.exists(epochDir)) return Map.empty
-    Files.list(epochDir).iterator.asScala
+  private final case class LeafDir(bucket: Int, path: String, rows: Long)
+
+  /** Walk the committed dir: bucket level, plus band level when banded;
+    * row counts from the parquet footers (driver-side metadata only, no
+    * Spark job — the Iceberg-manifest file-stats analog). */
+  private def leafDirs(commitDir: Path): Seq[LeafDir] = {
+    if (!Files.exists(commitDir)) return Nil
+    def rel(p: Path): String =
+      Paths.get(root).relativize(p).toString.replace(java.io.File.separatorChar, '/')
+    val bucketDirs = Files.list(commitDir).iterator.asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$bucketCol="))
-      .map { p =>
-        val k = p.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
-        k -> Paths.get(root).relativize(p).toString.replace(java.io.File.separatorChar, '/')
-      }.toMap
+      .toSeq
+    bucketDirs.flatMap { bp =>
+      val bucket = bp.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
+      val leaves = bandCol match {
+        case Some(bc) =>
+          Files.list(bp).iterator.asScala
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$bc="))
+            .toSeq
+        case None => Seq(bp)
+      }
+      leaves.map(p => LeafDir(bucket, s"$root/${rel(p)}", footerRows(p)))
+    }
   }
 
-  private def writeEpochData(df: DataFrame, commitV: Long): Map[Int, String] = {
+  private def footerRows(dir: Path): Long =
+    Files.list(dir).iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val hpath = new org.apache.hadoop.fs.Path(p.toUri)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hpath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+
+  private def writeEpochData(df: DataFrame, commitV: Long): Seq[LeafDir] = {
     // every commit writes a fresh immutable directory (keyed by manifest
     // version, which is strictly monotonic) — a rewrite can never clobber
-    // files still referenced by the live manifest, and readers of the
-    // previous snapshot stay consistent (Iceberg snapshot semantics)
+    // files still referenced by the live manifest. A leftover dir from a
+    // CRASHED commit (data written, _CURRENT never flipped) is
+    // unreferenced by any manifest <= current, so it is safe to clear.
     val dir = Paths.get(root, "data", s"commit=$commitV")
-    require(!Files.exists(dir), s"commit dir already exists: $dir")
-    // cluster by bucket before the partitioned write: one file per bucket
-    // instead of (tasks × buckets) shards — file count stays flat as
-    // parallelism grows
-    df.repartition(org.apache.spark.sql.functions.col(bucketCol))
-      .write.mode("errorifexists").partitionBy(bucketCol).parquet(dir.toString)
-    leafDirs(dir).map { case (k, rel) => k -> s"$root/$rel" }
+    if (Files.exists(dir)) deleteRecursively(dir)
+    // cluster by the partition dirs before the partitioned write: one
+    // file per leaf instead of (tasks × leaves) shards — file count
+    // stays flat as parallelism grows
+    import org.apache.spark.sql.functions.col
+    val partCols = bucketCol +: bandCol.toSeq
+    df.repartition(partCols.map(col): _*)
+      .write.mode("errorifexists").partitionBy(partCols: _*).parquet(dir.toString)
+    leafDirs(dir)
   }
 
-  /** Append rows (must contain bucketCol). Untouched buckets unchanged. */
-  def append(df: DataFrame, epoch: Long, counters: Map[String, Long] = Map.empty): Unit = {
-    val m = readManifest()
-    val added = writeEpochData(df, m.version + 1)
-    val merged = (m.bucketPaths.keySet ++ added.keySet).map { k =>
-      k -> (m.bucketPaths.getOrElse(k, Nil) ++ added.get(k).toList)
-    }.toMap
-    writeManifest(Manifest(m.version + 1, epoch, merged, counters))
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator.asScala.toSeq.foreach(deleteRecursively)
+    Files.delete(p)
   }
+
+  /** Serialize commits: JVM monitor (same-process writers, e.g. a seed
+    * stream next to the epoch loop) + OS file lock (cross-process). */
+  private def withCommitLock[T](body: => T): T =
+    BucketStore.monitorFor(root).synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = FileChannel.open(Paths.get(root, "_commit.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try body finally { lock.release(); ch.close() }
+    }
+
+  /** Append rows (must contain bucketCol and, when banded, bandCol).
+    * Untouched buckets unchanged. */
+  def append(df: DataFrame, epoch: Long, counters: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty): Unit =
+    withCommitLock {
+      val m = readManifest()
+      val v = m.version + 1
+      val added = writeEpochData(df, v)
+      val addedByBucket = added.groupBy(_.bucket)
+      val merged = (m.bucketPaths.keySet ++ addedByBucket.keySet).map { k =>
+        k -> (m.bucketPaths.getOrElse(k, Nil) ++
+          addedByBucket.getOrElse(k, Nil).map(_.path))
+      }.toMap
+      val rows = m.pathRows ++ added.map(l => l.path -> l.rows)
+      val bv = m.bucketVersions ++ addedByBucket.keySet.map(_ -> v)
+      writeManifest(Manifest(v, epoch, merged, counters, rows, bv, m.props ++ props))
+    }
 
   /** Replace the full content of the buckets present in `df` (and of
     * `alsoClear` buckets, which become empty). Other buckets untouched. */
   def replaceBuckets(df: DataFrame, epoch: Long,
       alsoClear: Set[Int] = Set.empty,
-      counters: Map[String, Long] = Map.empty): Unit = {
-    val m = readManifest()
-    val written = writeEpochData(df, m.version + 1)
-    val merged = (m.bucketPaths.keySet ++ written.keySet).flatMap { k =>
-      if (written.contains(k)) Some(k -> List(written(k)))
-      else if (alsoClear.contains(k)) None
-      else Some(k -> m.bucketPaths(k))
-    }.toMap
-    writeManifest(Manifest(m.version + 1, epoch, merged, counters))
-  }
+      counters: Map[String, Long] = Map.empty): Unit =
+    withCommitLock {
+      val m = readManifest()
+      val v = m.version + 1
+      val written = writeEpochData(df, v)
+      val writtenByBucket = written.groupBy(_.bucket)
+      val touched = writtenByBucket.keySet ++ alsoClear
+      val merged = (m.bucketPaths.keySet ++ writtenByBucket.keySet).flatMap { k =>
+        if (writtenByBucket.contains(k)) Some(k -> writtenByBucket(k).map(_.path).toList)
+        else if (alsoClear.contains(k)) None
+        else Some(k -> m.bucketPaths(k))
+      }.toMap
+      val keptPaths = merged.values.flatten.toSet
+      val rows = m.pathRows.view.filterKeys(keptPaths).toMap ++
+        written.map(l => l.path -> l.rows)
+      val bv = m.bucketVersions ++ touched.map(_ -> v)
+      writeManifest(Manifest(v, epoch, merged, counters, rows, bv, m.props))
+    }
+
+  /** Replace only the named leaf dirs: the new manifest drops
+    * `removePaths` and adds whatever `df` writes — the band-pruned
+    * dequeue rewrite (reads N files, rewrites N files, leaves the other
+    * O(queue/batch) files untouched). */
+  def replacePaths(df: DataFrame, epoch: Long, removePaths: Set[String],
+      counters: Map[String, Long] = Map.empty): Unit =
+    withCommitLock {
+      val m = readManifest()
+      val v = m.version + 1
+      val written = writeEpochData(df, v)
+      val writtenByBucket = written.groupBy(_.bucket)
+      val touched = writtenByBucket.keySet ++
+        m.bucketPaths.collect { case (k, ps) if ps.exists(removePaths) => k }
+      val merged = (m.bucketPaths.keySet ++ writtenByBucket.keySet).flatMap { k =>
+        val kept = m.bucketPaths.getOrElse(k, Nil).filterNot(removePaths)
+        val added = writtenByBucket.getOrElse(k, Nil).map(_.path)
+        val all = kept ++ added
+        if (all.isEmpty) None else Some(k -> all)
+      }.toMap
+      val keptPaths = merged.values.flatten.toSet
+      val rows = m.pathRows.view.filterKeys(keptPaths).toMap ++
+        written.map(l => l.path -> l.rows)
+      val bv = m.bucketVersions ++ touched.map(_ -> v)
+      writeManifest(Manifest(v, epoch, merged, counters, rows, bv, m.props))
+    }
 
   /** Atomically append to this store as part of epoch bookkeeping only
-    * (counters update without data change). */
-  def commitCounters(epoch: Long, counters: Map[String, Long]): Unit = {
-    val m = readManifest()
-    writeManifest(Manifest(m.version + 1, epoch, m.bucketPaths, counters))
-  }
+    * (counters/props update without data change). */
+  def commitCounters(epoch: Long, counters: Map[String, Long],
+      props: Map[String, String] = Map.empty): Unit =
+    withCommitLock {
+      val m = readManifest()
+      writeManifest(Manifest(m.version + 1, epoch, m.bucketPaths, counters,
+        m.pathRows, m.bucketVersions, m.props ++ props))
+    }
 
   // -- tiny JSON parser for the manifest shape we write ----------------
   private def ujsonParse(s: String): JVal = new JParser(s).parseValue()
@@ -206,4 +341,10 @@ final class BucketStore(val root: String, val bucketCol: String,
       }
     }
   }
+}
+
+object BucketStore {
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitorFor(root: String): Object =
+    monitors.computeIfAbsent(root, _ => new Object)
 }

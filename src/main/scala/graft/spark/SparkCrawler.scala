@@ -17,7 +17,11 @@ final class SparkCrawler(
     collectSequence: Boolean = true,
     /** bench mode: synthesize + decode + verify the image payload for
       * every fetched URL on the executors (the fetch+verify workload) */
-    verifyPayloadOnFetch: Boolean = false) {
+    verifyPayloadOnFetch: Boolean = false,
+    /** fetch-failure predicate over the batch row (url/host/depth/...):
+      * matching rows take the request_error path — ERROR state + error
+      * metadata, no links, never re-scheduled */
+    fetchError: Option[org.apache.spark.sql.Column] = None) {
 
   private val spark: SparkSession = frontier.spark
   import spark.implicits._
@@ -32,7 +36,16 @@ final class SparkCrawler(
     val batch = frontier.nextBatch(maxNextRequests, atEpoch = epochNo)
     val n =
       if (collectSequence) {
-        val ordered = batch.orderBy($"score".asc, $"created_at".asc)
+        // within-batch order follows the queue ordering (a LIFO batch is
+        // consumed most-recent-first, like the reference scheduler)
+        val orderCols = frontier.ordering match {
+          case graft.local.QueueOrdering.Fifo =>
+            Seq($"created_at".asc, $"url".asc)
+          case graft.local.QueueOrdering.Lifo =>
+            Seq($"created_at".desc, $"url".asc)
+          case _ => Seq($"score".asc, $"created_at".asc, $"url".asc)
+        }
+        val ordered = batch.orderBy(orderCols: _*)
           .select($"url").as[String].collect().toList
         if (ordered.nonEmpty) sequence.append(ordered)
         ordered.length.toLong
@@ -53,22 +66,34 @@ final class SparkCrawler(
     if (n == 0) { batch.unpersist(); return false }
     urlsCrawled += n
 
+    // request_error path: failed fetches split off before page/link
+    // processing (reference core/manager.py:572-580)
+    val (ok, errs) = fetchError match {
+      case Some(p) =>
+        (batch.filter(!p),
+          Some(batch.filter(p).withColumn("error",
+            concat(lit("fetch failed: "), $"url"))))
+      case None => (batch, None)
+    }
+
     // fetch: join the batch against the web graph (and payload table)
     val fetched = images match {
       case Some(img) =>
-        batch.join(img, batch("fingerprint") === img("image_id"), "left_outer")
-      case None => batch
+        ok.join(img, ok("fingerprint") === img("image_id"), "left_outer")
+      case None => ok
     }
     val pages = fetched.select($"fingerprint", $"url", $"depth", $"score", $"created_at")
-    val links = batch
+    val links = ok
       .join(web, Seq("url"), "left_outer")
-      .select($"score".as("parent_score"), $"created_at".as("parent_created"),
+      .select($"url".as("parent_url"),
+        $"score".as("parent_score"), $"created_at".as("parent_created"),
         $"depth".as("parent_depth"),
         posexplode_outer(coalesce($"outlinks", array())))
       .withColumnRenamed("pos", "link_idx")
       .withColumnRenamed("col", "link_url")
       .filter($"link_url".isNotNull)
-    frontier.processCrawled(pages, links, epochNo, nPages = n)
+    frontier.processCrawled(pages, links, epochNo,
+      nPages = if (fetchError.isEmpty) n else -1L, errors = errs)
     batch.unpersist()
     true
   }

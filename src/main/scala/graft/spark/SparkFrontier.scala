@@ -29,7 +29,38 @@ object ScoreStrategy {
     def seedScore: Column = lit(0.0)
     def linkScore(d: Column): Column = (d.cast(DoubleType) + 1.0) / 10.0
   }
+  /** shipped BFS (strategy/depth.py:35-37): link score
+    * `1 − depth/(depth+1)` = 1/(depth+1); seeds at the schedule default
+    * 1.0 (strategy/__init__.py:114-122). Note: under the min-queue this
+    * pops DEEPEST first — the semantics are the reference's, not a typo. */
+  case object ShippedBFS extends ScoreStrategy {
+    def seedScore: Column = lit(1.0)
+    def linkScore(d: Column): Column = lit(1.0) / (d.cast(DoubleType) + 2.0)
+  }
+  /** shipped DFS (strategy/depth.py:40-42): link score depth/(depth+1). */
+  case object ShippedDFS extends ScoreStrategy {
+    def seedScore: Column = lit(1.0)
+    def linkScore(d: Column): Column =
+      (d.cast(DoubleType) + 1.0) / (d.cast(DoubleType) + 2.0)
+  }
 }
+
+/** Discovery-lite strategy config (reference strategy/discovery/__init__.py —
+  * the only production-grade shipped strategy): same-domain link filter
+  * (:516-523), home/interest/other link scoring (0.8/0.7/0.5, :374-401),
+  * host-hash score justification (:47-50), and a per-domain max_pages
+  * budget (:414-454, DISCOVERY_MAX_PAGES=100) backed by the persistent
+  * `domain_metadata` table (core/components.py:137-181). */
+final case class DiscoveryConfig(
+    /** per-domain queued-pages budget across the whole crawl (0 = off) */
+    maxPagesPerDomain: Int = 100,
+    /** drop links leaving the parent's 2nd-level domain */
+    sameDomainOnly: Boolean = true,
+    /** spread per-domain scores into host-hash deciles */
+    justifyScores: Boolean = true,
+    /** links matching this regex score 0.7 ("of interest", the
+      * is_link_of_interest subclass hook); others 0.5, home pages 0.8 */
+    interestPattern: Option[String] = None)
 
 /** Spark-native crawl frontier over bucketed snapshot tables.
   *
@@ -70,6 +101,11 @@ final class SparkFrontier(
     /** conformance mode: single global (score, created) order like the
       * single-partition reference; scale mode: per-partition top-k */
     val globalOrder: Boolean = false,
+    /** dequeue ordering (reference sqlalchemy components.py:162-168):
+      * ScoreCreated = score ASC, created ASC (default); Fifo = created
+      * ASC; Lifo = created DESC. Fifo/Lifo scan all bands (the file
+      * banding is a score order — pruning only applies to score mode). */
+    val ordering: graft.local.QueueOrdering = graft.local.QueueOrdering.ScoreCreated,
     /** domain metadata for robots allow/deny (F3): (host, robots_body).
       * Small relative to the frontier ⇒ joined broadcast-style; at 100 TB
       * it lives co-partitioned on the same host buckets as the queue. */
@@ -79,7 +115,12 @@ final class SparkFrontier(
     val revisitIntervalEpochs: Option[Long] = None,
     /** partitioned Bloom prefilter in front of the exact URL-seen
       * anti-join (north rule); purely join-pruning, set stays exact */
-    val useBloom: Boolean = true) extends Serializable {
+    val useBloom: Boolean = true,
+    /** discovery-lite strategy (same-domain filter, class scoring with
+      * host-hash justification, per-domain max_pages budget). When set,
+      * link scores come from the discovery classifier, not `strategy`,
+      * and `links` must carry a `parent_url` column. */
+    val discovery: Option[DiscoveryConfig] = None) extends Serializable {
 
   import spark.implicits._
 
@@ -99,18 +140,40 @@ final class SparkFrontier(
     StructField("fetched_epoch", LongType), StructField("status", StringType),
     StructField("partition_id", IntegerType)))
 
-  val queue = new BucketStore(s"$root/queue", "partition_id", partitions)
+  /** Queue files are secondarily partitioned by 0.01-score band — the
+    * reference HBase rowkey interval (hbase/__init__.py:129-196) as a
+    * file layout: the dequeue reads only the best bands until the budget
+    * is met and rewrites only those files, so each epoch's queue I/O is
+    * O(batch), not O(queue). */
+  val queue = new BucketStore(s"$root/queue", "partition_id", partitions,
+    bandCol = Some("band"))
   val states = new BucketStore(s"$root/states", "sbucket", stateBuckets)
   val metadata = new BucketStore(s"$root/metadata", "partition_id", partitions)
+  /** per-domain KV (J2/A4; reference core/components.py:137-181,
+    * hbase/domaincache.py): queued-pages budget counters, bucketed by
+    * the domain partitioner so counter merges are co-located */
+  val domainMetaSchema: StructType = StructType(Seq(
+    StructField("domain", StringType), StructField("queued_pages", LongType),
+    StructField("dbucket", IntegerType)))
+  val domainMeta = new BucketStore(s"$root/domain_metadata", "dbucket", partitions)
   val bloomSeen = new BloomSeen(s"$root/states")
   queue.emptySchema = Some(queueSchema)
   states.emptySchema = Some(statesSchema)
   metadata.emptySchema = Some(metadataSchema)
+  domainMeta.emptySchema = Some(domainMetaSchema)
 
   def epoch: Long = math.max(queue.readManifest().epoch, 0L)
 
   private def sbucketCol(fp: Column): Column =
     pmod(xxhash64(fp), lit(stateBuckets)).cast(IntegerType)
+
+  /** Score band at 0.01 resolution, clamped to [0,99] (score 1.0 joins
+    * the last band, like the reference's right-inclusive last interval).
+    * The queue pops lowest score first, so band 0 is the best band. */
+  private def bandExpr: Column =
+    least(greatest(floor($"score" * 100).cast(IntegerType), lit(0)), lit(99))
+  private def withBand(df: DataFrame): DataFrame =
+    df.withColumn("band", bandExpr)
 
   /** Decorate a url column with the frontier identity columns. */
   private def identity(df: DataFrame, urlCol: String): DataFrame =
@@ -128,20 +191,21 @@ final class SparkFrontier(
       .withColumn("depth", lit(0))
       .withColumn("crawl_at", lit(0L))
       .select(queueSchema.fieldNames.map(col): _*)
-    queue.append(df, epoch, Map("seeds" -> seedUrls.length.toLong))
+    queue.append(withBand(df), epoch, Map("seeds" -> seedUrls.length.toLong))
   }
 
   /** Seed injection from a DataFrame with a `url` column (streaming /
     * bulk path): seed score from the strategy, depth 0, no states check
-    * (matches strategy.read_seeds). */
-  def addSeedsDF(urls: DataFrame): Unit = {
+    * (matches strategy.read_seeds). `props` commit atomically with the
+    * rows (the seed stream's exactly-once batch marker rides here). */
+  def addSeedsDF(urls: DataFrame, props: Map[String, String] = Map.empty): Unit = {
     val df = identity(urls.select(col("url")), "url")
       .withColumn("score", strategy.seedScore)
       .withColumn("created_at", pmod(xxhash64(col("url")), lit(1L << 40)))
       .withColumn("depth", lit(0))
       .withColumn("crawl_at", lit(0L))
       .select(queueSchema.fieldNames.map(col): _*)
-    queue.append(df, epoch)
+    queue.append(withBand(df), epoch, props = props)
   }
 
   /** Bulk-schedule a frontier (bench/prefill path): df must carry
@@ -152,84 +216,237 @@ final class SparkFrontier(
       .withColumn("created_at", pmod(xxhash64(col("url")), lit(1L << 40)))
       .withColumn("crawl_at", lit(0L))
       .select(queueSchema.fieldNames.map(col): _*)
-    queue.append(rows, epoch)
+    queue.append(withBand(rows), epoch)
   }
 
+  /** Dequeue scan statistics of the last nextBatch (for tests and
+    * lineage): files read vs files in the queue, deepening tries. */
+  final case class ScanStats(scannedPaths: Int, totalPaths: Int, tries: Int)
+  @volatile var lastScan: ScanStats = ScanStats(0, 0, 0)
+
   /** Dequeue one batch: the reference get_next_requests hot path
-    * (SURVEY §3.1). Returns the batch and removes it from the queue. */
-  def nextBatch(maxNextRequests: Int, atEpoch: Long = -1L): DataFrame = {
+    * (SURVEY §3.1). Returns the batch and removes it from the queue.
+    *
+    * Band-pruned scan: per bucket, read score bands best-first until the
+    * read rows cover the budget (manifest row counts — no data read to
+    * plan). Bands partition the score axis, so the top-k over a prefix
+    * of whole bands equals the top-k over the full queue whenever the
+    * prefix holds ≥ k visible rows; when it doesn't (crawl_at-invisible
+    * rows, host caps), the scan DEEPENS — the reference's
+    * min_requests/min_hosts retry loop (A3, hbase/__init__.py:219-266,
+    * limit ×5.5 per try) — until exactness is restored or all bands are
+    * read. Only the bands that lost rows are rewritten: per-epoch queue
+    * I/O is O(batch + touched bands), not O(queue).
+    *
+    * `minHosts` > 0 additionally deepens (≤3 retries, reference
+    * GET_RETRIES) while a bucket's batch has fewer distinct hosts. */
+  def nextBatch(maxNextRequests: Int, atEpoch: Long = -1L,
+      minHosts: Int = 0): DataFrame = {
     // crawl_at visibility (delayed revisit): invisible rows stay queued
     val nowEpoch = if (atEpoch >= 0) atEpoch else epoch
-    val q0 = queue.read(spark)
-    val q = q0.filter($"crawl_at" <= nowEpoch)
+    val m = queue.readManifest()
+    // per bucket: bands sorted best-first with manifest row counts
+    val bandsByBucket: Map[Int, Vector[(Int, Vector[String], Long)]] =
+      m.bucketPaths.map { case (b, ps) =>
+        b -> ps.groupBy(queue.bandOf).toVector.sortBy(_._1)
+          .map { case (band, paths) =>
+            (band, paths.toVector,
+              paths.map(p => m.pathRows.getOrElse(p, Long.MaxValue / 1024)).sum)
+          }
+      }
+    val totalPaths = m.bucketPaths.valuesIterator.map(_.size).sum
+
+    // band pruning applies only to the score orderings (bands partition
+    // the score axis); Fifo/Lifo (created_at orderings) scan all bands —
+    // the reference SQL queue has no score layout for them either
+    import graft.local.QueueOrdering
+    val scorePruned = ordering == QueueOrdering.ScoreCreated ||
+      ordering == QueueOrdering.Score
+
+    // band prefix covering `limit` rows per bucket (whole bands only)
+    def prefixFor(limit: Double): Map[Int, Vector[(Int, Vector[String])]] =
+      bandsByBucket.map { case (b, bands) =>
+        if (!scorePruned) b -> bands.map(t => (t._1, t._2))
+        else {
+          var acc = 0L
+          val sel = Vector.newBuilder[(Int, Vector[String])]
+          var i = 0
+          while (i < bands.length && acc < limit) {
+            acc += bands(i)._3
+            sel += ((bands(i)._1, bands(i)._2))
+            i += 1
+          }
+          b -> sel.result()
+        }
+      }
+
+    val orderCols = ordering match {
+      case QueueOrdering.Fifo => Seq($"created_at".asc, $"url".asc)
+      case QueueOrdering.Lifo => Seq($"created_at".desc, $"url".asc)
+      case _ => Seq($"score".asc, $"created_at".asc, $"url".asc)
+    }
     val rankW =
-      if (globalOrder) Window.orderBy($"score".asc, $"created_at".asc)
-      else Window.partitionBy($"partition_id")
-        .orderBy($"score".asc, $"created_at".asc)
-    // one pass: rank within partition (+ per-host politeness rank), tag
-    // selected rows; batch and remaining both come from this pass — no
-    // second read, no anti-join
-    var ranked = q.withColumn("__rank", row_number().over(rankW))
-    val selCond =
+      if (globalOrder) Window.orderBy(orderCols: _*)
+      else Window.partitionBy($"partition_id").orderBy(orderCols: _*)
+
+    // one pass over the scanned bands: per-host politeness rank first,
+    // then batch rank over the CAPPED rows only — the reference's
+    // collection loop (hbase/__init__.py:239-256) skips over-cap rows and
+    // keeps filling the batch from deeper in the scan, so a flooded host
+    // never starves the batch. Batch, shortfall stats, and rewrite
+    // residue all come from this pass. Over-cap and invisible rows get
+    // __rank = MaxValue (never selected, ride into the rewrite residue).
+    def tag(visRows: DataFrame): DataFrame = {
       if (maxPerHost > 0) {
         require(hostSalts == 1 || maxPerHost % hostSalts == 0,
           s"maxPerHost=$maxPerHost must divide evenly across hostSalts=$hostSalts")
         val (hw, perGroupCap) =
           if (hostSalts > 1) {
             val salt = pmod(xxhash64($"fingerprint"), lit(hostSalts))
-            (Window.partitionBy($"host", salt)
-              .orderBy($"score".asc, $"created_at".asc),
+            (Window.partitionBy($"host", salt).orderBy(orderCols: _*),
               maxPerHost / hostSalts)
           } else
-            (Window.partitionBy($"host")
-              .orderBy($"score".asc, $"created_at".asc), maxPerHost)
-        ranked = ranked.withColumn("__hrank", row_number().over(hw))
-        $"__rank" <= maxNextRequests && $"__hrank" <= perGroupCap
-      } else $"__rank" <= maxNextRequests
-    val tagged = ranked.withColumn("__sel", selCond).cache()
+            (Window.partitionBy($"host").orderBy(orderCols: _*), maxPerHost)
+        val withH = visRows.withColumn("__hrank", row_number().over(hw))
+        val capped = withH.filter($"__hrank" <= perGroupCap)
+          .withColumn("__rank", row_number().over(rankW))
+        val overflow = withH.filter($"__hrank" > perGroupCap)
+          .withColumn("__rank", lit(Int.MaxValue))
+        capped.withColumn("__sel", $"__rank" <= maxNextRequests)
+          .unionByName(overflow.withColumn("__sel", lit(false)))
+      } else
+        visRows.withColumn("__rank", row_number().over(rankW))
+          .withColumn("__sel", $"__rank" <= maxNextRequests)
+    }
+
+    // ranking must see only visible rows — rank over a pre-filtered
+    // frame, then union the invisible rows back (unranked, unselected)
+    def tagVisibilityAware(scanned: DataFrame): DataFrame = {
+      val visOnly = tag(scanned.filter($"crawl_at" <= nowEpoch)
+        .withColumn("__vis", lit(true)))
+      val invisible = scanned.filter($"crawl_at" > nowEpoch)
+        .withColumn("__vis", lit(false))
+        .withColumn("__rank", lit(Int.MaxValue))
+      val inv2 = if (maxPerHost > 0) invisible.withColumn("__hrank", lit(Int.MaxValue))
+                 else invisible
+      visOnly.unionByName(inv2.withColumn("__sel", lit(false)))
+    }
+
+    var tries = 0
+    var limit = math.max(1, maxNextRequests).toDouble
+    var prefix = prefixFor(limit)
+    var tagged: DataFrame = null
+    var done = false
+    def nPaths(p: Map[Int, Vector[(Int, Vector[String])]]) =
+      p.valuesIterator.map(_.iterator.map(_._2.size).sum).sum
+    while (!done) {
+      val paths = prefix.valuesIterator.flatMap(_.flatMap(_._2)).toSeq
+      if (tagged != null) tagged.unpersist()
+      tagged = tagVisibilityAware(queue.readPaths(spark, paths)).cache()
+      if (nPaths(prefix) == totalPaths) {
+        // the scan covers the whole queue — exact by construction, no
+        // shortfall stats needed (the common case while a small queue
+        // drains; keeps the per-epoch job count at round-trip minimum)
+        done = true
+      } else {
+        val stats = tagged.groupBy($"partition_id").agg(
+            sum(when($"__rank" < Int.MaxValue, 1L).otherwise(0L)),
+            sum(when($"__sel", 1L).otherwise(0L)),
+            countDistinct(when($"__sel", $"host")))
+          .as[(Int, Long, Long, Long)].collect()
+          .map(t => t._1 -> t).toMap
+        val needMore = bandsByBucket.exists { case (b, bands) =>
+          val unread = bands.length > prefix.getOrElse(b, Vector.empty).length
+          if (!unread) false
+          else {
+            val (_, cappedN, _, hostsN) = stats.getOrElse(b, (b, 0L, 0L, 0L))
+            // exactness: the prefix must hold >= budget capped visible
+            // rows (else deeper bands could hold batch rows we'd miss) —
+            // also the reference's `count < min_requests -> retry`
+            cappedN < maxNextRequests ||
+              // reference min_hosts diversity retry (<= 3 tries)
+              (minHosts > 0 && hostsN < minHosts && tries < 3)
+          }
+        }
+        if (!needMore) done = true
+        else {
+          // reference: limit ×5.5 per retry — but always make progress
+          // (the current prefix might already satisfy the row limit)
+          tries += 1
+          var next = prefixFor({ limit *= 5.5; limit })
+          while (nPaths(next) == nPaths(prefix) && nPaths(next) < totalPaths) {
+            limit *= 5.5
+            next = prefixFor(limit)
+          }
+          prefix = next
+        }
+      }
+    }
+    lastScan = ScanStats(
+      prefix.valuesIterator.map(_.iterator.map(_._2.size).sum).sum,
+      totalPaths, tries)
+
     val batch = tagged.filter($"__sel")
       .select(queueSchema.fieldNames.map(col): _*).cache()
 
-    // one job: touched buckets + total + per-partition lineage counters
-    val perPartition = batch.groupBy($"partition_id").count()
-      .as[(Int, Long)].collect()
-    val touched = perPartition.map(_._1).toSet
-    if (touched.nonEmpty) {
-      // only buckets that lost rows are rewritten; the rest are untouched
-      // manifest references (at 10^10 rows the production layout adds
-      // score-bucketed files so a rewrite touches only the hot files)
-      val remaining = tagged.filter(!$"__sel" &&
-          $"partition_id".isInCollection(touched))
+    // touched (bucket, band) groups: only bands that lost rows are
+    // rewritten; all other files stay referenced by the new manifest
+    val touchedGroups = tagged.filter($"__sel")
+      .select($"partition_id", bandExpr.as("band"))
+      .groupBy($"partition_id", $"band").count()
+      .as[(Int, Int, Long)].collect()
+    if (touchedGroups.nonEmpty) {
+      val touchedKeys = touchedGroups.map { case (b, band, _) => s"${b}_$band" }.toSet
+      val removePaths = touchedGroups.flatMap { case (b, band, _) =>
+        prefix.getOrElse(b, Vector.empty).collect { case (`band`, ps) => ps }.flatten
+      }.toSet
+      val groupKey = concat_ws("_", $"partition_id", bandExpr)
+      val remaining = tagged
+        .filter(!$"__sel" && groupKey.isInCollection(touchedKeys))
         .select(queueSchema.fieldNames.map(col): _*)
-        // not-yet-visible rows of the rewritten buckets must ride along
-        .union(q0.filter($"crawl_at" > nowEpoch &&
-          $"partition_id".isInCollection(touched))
-          .select(queueSchema.fieldNames.map(col): _*))
-      queue.replaceBuckets(remaining, epoch,
-        alsoClear = touched,
-        counters = Map("dequeued" -> perPartition.map(_._2).sum) ++
+      val perPartition = touchedGroups.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      queue.replacePaths(withBand(remaining), epoch, removePaths,
+        counters = Map("dequeued" -> touchedGroups.map(_._3).sum) ++
           perPartition.map { case (p, n) => s"dequeued.p$p" -> n })
     }
     tagged.unpersist()
     batch
   }
 
+  /** Last processed-epoch marker (jid analog, worker/strategy.py:53-71):
+    * replayed event batches are dropped. */
+  private val jidKey = "jid.lastProcessed"
+  def lastProcessedEpoch: Long =
+    queue.readManifest().props.get(jidKey).map(_.toLong).getOrElse(-1L)
+
   /** Process crawl results: `pages` = the fetched batch (must carry
     * fingerprint/url/depth/score/created_at), `links` = extracted links
-    * as (parent row ++ link_url, link_idx).
+    * as (parent row ++ link_url, link_idx), `errors` = failed fetches
+    * (fingerprint/url/depth/score + an `error` string column).
     *
     * Pipeline (reference links_extracted, SURVEY §3.2): identity columns →
     * in-batch first-occurrence dedup → URL-seen anti-join (states ∪ this
-    * batch's pages) → strategy score → queue append + states merge. */
+    * batch's pages) → strategy score → queue append + states merge.
+    *
+    * Errors (reference request_error, core/manager.py:572-580): the
+    * failed request's state becomes ERROR=3 and its metadata records the
+    * error string — it is NOT re-scheduled (and, being in states, later
+    * links to it are dropped by the URL-seen join).
+    *
+    * jid/epoch filter (F6, worker/strategy.py:53-71): a replayed event
+    * batch (epochNo <= the last processed epoch committed in the queue
+    * manifest) is dropped wholesale — replays of already-applied bus
+    * events are idempotent. */
   def processCrawled(pages: DataFrame, links: DataFrame, epochNo: Long,
-      nPages: Long = -1L): Unit = {
+      nPages: Long = -1L, errors: Option[DataFrame] = None): Unit = {
+    if (epochNo <= lastProcessedEpoch) return // stale replay (jid filter)
     val pageStates = pages.select($"fingerprint").distinct()
       .withColumn("state", lit(graft.local.States.Crawled))
 
     val l1 = identity(links, "link_url")
     // F2/F3: filter_extracted_links — robots deny before the states
     // lookup (saves the KV fetch, exactly the reference's motivation)
-    val l0 = robots match {
+    val l0a = robots match {
       case Some(dm) =>
         l1.join(broadcast(dm.select($"host", $"robots_body")), Seq("host"), "left_outer")
           .filter(FrontierExprs.robots_can_fetch($"link_url",
@@ -237,38 +454,86 @@ final class SparkFrontier(
           .drop("robots_body")
       case None => l1
     }
+    // F5: same-domain filter (discovery _is_from_same_domain,
+    // discovery/__init__.py:516-523) — also part of
+    // filter_extracted_links, before the states fetch
+    val l0 = discovery match {
+      case Some(d) if d.sameDomainOnly =>
+        l0a.filter(FrontierExprs.sld($"host") ===
+          FrontierExprs.sld(url_host($"parent_url")))
+      case _ => l0a
+    }
     // first occurrence wins: order links by the dequeue order of their
-    // parent, then extraction order — reproduces the sequential schedule
-    // order of the reference manager loop
-    val firstW = Window.partitionBy($"fingerprint")
-      .orderBy($"parent_score".asc, $"parent_created".asc, $"link_idx".asc)
+    // parent (which follows the queue ordering), then extraction order —
+    // reproduces the sequential schedule order of the reference manager
+    // loop under every ordering (score/FIFO/LIFO)
+    val parentOrder = ordering match {
+      case graft.local.QueueOrdering.Fifo =>
+        Seq($"parent_created".asc, $"link_idx".asc, $"link_url".asc)
+      case graft.local.QueueOrdering.Lifo =>
+        Seq($"parent_created".desc, $"link_idx".asc, $"link_url".asc)
+      case _ =>
+        Seq($"parent_score".asc, $"parent_created".asc, $"link_idx".asc,
+          $"link_url".asc)
+    }
+    val firstW = Window.partitionBy($"fingerprint").orderBy(parentOrder: _*)
     val deduped = l0.withColumn("__occ", row_number().over(firstW))
       .filter($"__occ" === 1).drop("__occ")
 
     // URL-seen: partitioned-Bloom prefilter, then the exact anti-join
     // against the states store. Bloom-negative links are definitely
     // unseen and skip the join (at 10^10 rows that's most of the probe
-    // side); positives go through the exact join, so the seen SET stays
-    // exact. Links to pages crawled in THIS batch are seen too (manager
+    // side); positives go through the exact join — pruned to the buckets
+    // that actually hold candidates — so the seen SET stays exact.
+    // Sidecar freshness (per-bucket states version vs bloom stamp) gates
+    // the shortcut: a bucket whose sidecar is absent or older than its
+    // last states commit routes through the exact join instead of being
+    // declared definitely-unseen (a crash between the states commit and
+    // the sidecar write can therefore never drop a seen URL).
+    // Links to pages crawled in THIS batch are seen too (manager
     // processes page_crawled before the next page's links_extracted) —
     // they're not in the persisted bloom yet, so that check is a separate
     // broadcast anti-join against the (small) batch.
+    var probeCache: Option[DataFrame] = None
     val notSeenPersisted =
       if (useBloom) {
-        val bc = bloomSeen.broadcastFor(spark, (0 until stateBuckets).toSet)
-        val mightContain = udf((fp: String, sb: Int) =>
-          bc.value.get(sb).exists(_.mightContainString(fp)))
+        val sm = states.readManifest()
+        val fresh = (0 until stateBuckets).filter { b =>
+          sm.bucketVersions.get(b).forall(rv =>
+            bloomSeen.version(b).exists(_ >= rv))
+        }.toSet
+        val bc = bloomSeen.broadcastFor(spark, fresh)
         val withB = deduped.withColumn("__sb", sbucketCol($"fingerprint"))
-        val definiteNew = withB.filter(!mightContain($"fingerprint", $"__sb")).drop("__sb")
-        val maybeSeen = withB.filter(mightContain($"fingerprint", $"__sb")).drop("__sb")
+        // native expression — the probe stays in whole-stage codegen,
+        // evaluated once per row (no UDF ser/de, no double pass)
+        val probe = FrontierExprs.bloom_seen_probe(bc, $"__sb",
+          FrontierExprs.seen_key($"fingerprint"))
+        val maybeCond =
+          if (fresh.size < stateBuckets) !$"__sb".isInCollection(fresh) || probe
+          else probe
+        val probed = withB.withColumn("__maybe", maybeCond).cache()
+        probeCache = Some(probed)
+        val maybeBuckets = probed.filter($"__maybe").select($"__sb")
+          .distinct().as[Int].collect().toSet
+        val definiteNew = probed.filter(!$"__maybe").drop("__sb", "__maybe")
+        val maybeSeen = probed.filter($"__maybe").drop("__sb", "__maybe")
         definiteNew.unionByName(
-          maybeSeen.join(states.read(spark).select($"fingerprint"),
+          maybeSeen.join(
+            states.readBuckets(spark, Some(maybeBuckets)).select($"fingerprint"),
             Seq("fingerprint"), "left_anti"))
       } else
         deduped.join(states.read(spark).select($"fingerprint"),
           Seq("fingerprint"), "left_anti")
+    // errored fetches become part of this epoch's seen set too: their
+    // ERROR state is merged below, and links to them must not reschedule
+    val errorStates = errors.map(_.select($"fingerprint").distinct()
+      .withColumn("state", lit(graft.local.States.Error)))
+    val seenThisBatch = errorStates match {
+      case Some(es) => pageStates.select($"fingerprint").union(es.select($"fingerprint"))
+      case None => pageStates.select($"fingerprint")
+    }
     val fresh = notSeenPersisted.join(
-      broadcast(pageStates.select($"fingerprint")), Seq("fingerprint"), "left_anti")
+      broadcast(seenThisBatch), Seq("fingerprint"), "left_anti")
 
     // deterministic created_at = schedule order. Conformance mode uses a
     // global dense rank (single-partition window — fine for oracle runs);
@@ -277,24 +542,51 @@ final class SparkFrontier(
     val epochBase = (epochNo + 1) << 40
     val seqCol =
       if (globalOrder) {
-        val w = Window.orderBy($"parent_score".asc, $"parent_created".asc, $"link_idx".asc)
+        val w = Window.orderBy(parentOrder: _*)
         row_number().over(w).cast(LongType)
       } else {
-        val w = Window.partitionBy($"partition_id")
-          .orderBy($"parent_score".asc, $"parent_created".asc, $"link_idx".asc)
+        val w = Window.partitionBy($"partition_id").orderBy(parentOrder: _*)
         row_number().over(w).cast(LongType) * partitions + $"partition_id"
       }
-    val scheduled = fresh
+    // F7: link scoring — discovery classifies home(0.8)/interest(0.7)/
+    // other(0.5) and justifies by host hash (discovery/__init__.py:
+    // 374-401, 47-50); otherwise the strategy's score expression
+    val scoreCol = discovery match {
+      case Some(d) =>
+        val classScore = when(FrontierExprs.is_home_page($"link_url"), lit(0.8))
+          .otherwise(d.interestPattern
+            .map(p => when($"link_url".rlike(p), lit(0.7)).otherwise(lit(0.5)))
+            .getOrElse(lit(0.5)))
+        if (d.justifyScores) FrontierExprs.justify_score($"host", classScore)
+        else classScore
+      case None => strategy.linkScore($"parent_depth")
+    }
+    val scheduled0 = fresh
       .withColumn("depth", $"parent_depth" + 1)
-      .withColumn("score", strategy.linkScore($"parent_depth"))
+      .withColumn("score", scoreCol)
       .withColumn("created_at", lit(epochBase) + seqCol)
       .withColumn("crawl_at", lit(0L))
       .select(col("link_url").as("url"), $"fingerprint", $"host",
         $"partition_id", $"score", $"created_at", $"depth", $"crawl_at")
-      .select(queueSchema.fieldNames.map(col): _*)
-      .cache()
+    // A4: per-domain max_pages budget (discovery/__init__.py:414-454) —
+    // the persistent queued_pages counter plus this epoch's per-domain
+    // rank must stay within budget; over-budget links are dropped (the
+    // reference's LIMIT REACHED path)
+    val scheduled = (discovery match {
+      case Some(d) if d.maxPagesPerDomain > 0 =>
+        val dm = domainMeta.read(spark)
+          .select($"domain".as("__domain"), $"queued_pages".as("__qp0"))
+        val w = Window.partitionBy($"__domain")
+          .orderBy($"score".asc, $"created_at".asc, $"url".asc)
+        scheduled0.withColumn("__domain", FrontierExprs.sld($"host"))
+          .join(dm, Seq("__domain"), "left_outer")
+          .withColumn("__rn", row_number().over(w))
+          .filter(coalesce($"__qp0", lit(0L)) + $"__rn" <= d.maxPagesPerDomain)
+      case _ => scheduled0
+    }).select(queueSchema.fieldNames.map(col): _*).cache()
 
     val nScheduled = scheduled.count()
+    probeCache.foreach(_.unpersist())
     // revisit: crawled pages re-enter the queue, visible `interval`
     // epochs from now (reference crawl_at, hbase/__init__.py:124)
     val toAppend = revisitIntervalEpochs match {
@@ -307,19 +599,55 @@ final class SparkFrontier(
         scheduled.union(revisits)
       case None => scheduled
     }
-    queue.append(toAppend, epochNo, Map("scheduled" -> nScheduled))
+    // the queue commit is the epoch's publish point — the jid marker
+    // rides in the same atomic manifest flip
+    queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled),
+      props = Map(jidKey -> epochNo.toString))
 
-    // metadata sink (S7): one record per fetched document per epoch
+    // domain_metadata merge (A4/J2): bump each domain's queued_pages by
+    // this epoch's schedules — MERGE INTO per epoch, bucket-pruned
+    if (discovery.exists(_.maxPagesPerDomain > 0)) {
+      val newCounts = scheduled
+        .groupBy(FrontierExprs.sld($"host").as("domain"))
+        .agg(count(lit(1)).as("add"))
+        .withColumn("dbucket", host_partition($"domain", partitions))
+        .cache()
+      val touchedD = newCounts.select($"dbucket").distinct().as[Int].collect().toSet
+      if (touchedD.nonEmpty) {
+        val merged = domainMeta.readBuckets(spark, Some(touchedD))
+          .select($"domain", $"queued_pages")
+          .unionByName(newCounts.select($"domain", $"add".as("queued_pages")))
+          .groupBy($"domain").agg(sum($"queued_pages").as("queued_pages"))
+          .withColumn("dbucket", host_partition($"domain", partitions))
+          .select(domainMetaSchema.fieldNames.map(col): _*)
+        domainMeta.replaceBuckets(merged, epochNo, alsoClear = touchedD)
+      }
+      newCounts.unpersist()
+    }
+
+    // metadata sink (S7): one record per fetched document per epoch;
+    // failed fetches record the error string as their status
+    // (reference sqlalchemy models.py:28 `error` column)
+    val okMeta = pages.select($"fingerprint", $"url", $"depth", $"score")
+      .withColumn("fetched_epoch", lit(epochNo))
+      .withColumn("status", lit("200"))
+    val allMeta = errors match {
+      case Some(err) =>
+        okMeta.unionByName(
+          err.select($"fingerprint", $"url", $"depth", $"score",
+            coalesce($"error", lit("error")).as("status"))
+            .withColumn("fetched_epoch", lit(epochNo)))
+      case None => okMeta
+    }
     metadata.append(
-      pages.select($"fingerprint", $"url", $"depth", $"score")
-        .withColumn("fetched_epoch", lit(epochNo))
-        .withColumn("status", lit("200"))
+      allMeta
         .withColumn("partition_id", host_partition(url_host($"url"), partitions))
         .select(metadataSchema.fieldNames.map(col): _*),
       epochNo)
 
-    // states merge: crawled pages + newly queued links (QUEUED)
-    val updates = pageStates
+    // states merge: crawled pages + errored fetches (ERROR=3) + newly
+    // queued links (QUEUED)
+    val updates = errorStates.fold(pageStates)(pageStates.unionByName(_))
       .union(scheduled.select($"fingerprint")
         .withColumn("state", lit(graft.local.States.Queued)))
       .withColumn("sbucket", sbucketCol($"fingerprint"))
@@ -327,17 +655,31 @@ final class SparkFrontier(
       .cache()
     val touched = updates.select($"sbucket").distinct().as[Int].collect().toSet
     if (touched.nonEmpty) {
+      // sidecar base-freshness must be judged against the PRE-commit
+      // per-bucket versions: a sidecar as new as the bucket's last
+      // commit already holds every previously-committed key, so merging
+      // just this epoch's keys keeps it complete
+      val preVersions = states.readManifest().bucketVersions
       val old = states.readBuckets(spark, Some(touched))
         .join(updates.select($"fingerprint".as("__f")), $"fingerprint" === $"__f", "left_anti")
       val nCrawled = if (nPages >= 0) nPages else pages.count()
       states.replaceBuckets(old.union(updates), epochNo,
         alsoClear = touched,
         counters = Map("crawled" -> nCrawled, "queued" -> nScheduled))
-      // refresh the touched buckets' Bloom sidecars from the committed
-      // snapshot (production: incremental merge of the update keys)
-      if (useBloom)
-        bloomSeen.rebuild(states.readBuckets(spark, Some(touched)),
-          touched, states.currentVersion)
+      if (useBloom) {
+        val newV = states.currentVersion
+        // incremental merge of the update keys into fresh sidecars —
+        // cost O(update); only buckets with an absent/stale sidecar pay
+        // a full rebuild (e.g. useBloom enabled on an existing store, or
+        // a crash between a past states commit and its sidecar write)
+        val freshB = touched.filter(b => preVersions.get(b).forall(pv =>
+          bloomSeen.version(b).exists(_ >= pv)))
+        val staleB = touched -- freshB
+        bloomSeen.mergeUpdates(
+          updates.filter($"sbucket".isInCollection(freshB)), freshB, newV)
+        if (staleB.nonEmpty)
+          bloomSeen.rebuild(states.readBuckets(spark, Some(staleB)), staleB, newV)
+      }
     }
     scheduled.unpersist()
     updates.unpersist()

@@ -45,4 +45,26 @@ object SparkFun {
     * Empty/invalid body allows everything. */
   def robotsCanFetch(url: UTF8String, body: UTF8String): Boolean =
     graft.core.Robots.canFetch(url.toString, body.toString)
+
+  /** 2nd-level domain of a hostname (discovery `_get_2ndlevel_name`). */
+  def sld(host: UTF8String): UTF8String =
+    UTF8String.fromString(UrlUtil.sld(host.toString))
+
+  /** is_home_page_url (discovery/__init__.py:32-36). */
+  def isHomePage(url: UTF8String): Boolean =
+    UrlUtil.isHomePage(url.toString)
+
+  /** Partitioned-Bloom probe (BloomSeenProbe codegen kernel): does the
+    * bucket's Bloom possibly contain the seen-key? Absent bucket = no
+    * seen keys = definite negative. `bc` is the broadcast
+    * Map[Int, BloomFilter] (typed as Object so generated Java can call
+    * this without Scala generic signatures). */
+  def bloomProbe(bc: Object, bucket: Int, key: Long): Boolean = {
+    val m = bc.asInstanceOf[org.apache.spark.broadcast.Broadcast[
+      Map[Int, org.apache.spark.util.sketch.BloomFilter]]].value
+    m.get(bucket) match {
+      case Some(f) => f.mightContainLong(key)
+      case None => false
+    }
+  }
 }

@@ -11,11 +11,21 @@ import graft.spark.SparkFrontier
   *
   * a file-source stream watches a directory of seed lists; every
   * micro-batch is trimmed, comment-filtered, and scheduled into the
-  * frontier via foreachBatch. The stream checkpoint gives exactly-once
-  * file ingestion across restarts (a re-started stream skips files it
-  * already scheduled) — the streaming analog of the engine's
-  * manifest-epoch resume. */
+  * frontier via foreachBatch.
+  *
+  * Exactly-once: foreachBatch alone is at-least-once (a crash between
+  * the frontier commit and the streaming-checkpoint commit replays the
+  * micro-batch), so the sink is made idempotent with the batchId — the
+  * last applied batchId commits ATOMICALLY with the seed rows as a queue
+  * manifest prop, and replayed batches (id <= marker) are skipped. Seeds
+  * bypass the URL-seen check, so without this marker a replay would
+  * schedule duplicates. */
 final class SeedStream(frontier: SparkFrontier, seedsDir: String) {
+
+  private val markerKey = "seedstream.lastBatch"
+
+  private[streaming] def lastApplied: Long =
+    frontier.queue.readManifest().props.get(markerKey).map(_.toLong).getOrElse(-1L)
 
   /** Process everything currently in the directory, then stop
     * (Trigger.AvailableNow). Call again after new files land, or use
@@ -36,12 +46,14 @@ final class SeedStream(frontier: SparkFrontier, seedsDir: String) {
       .queryName("graft-seed-ingest")
       .option("checkpointLocation", s"${frontier.root}/seedstream-ckpt")
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val urls = batch
-          .select(trim(col("value")).as("url"))
-          .filter(length(col("url")) > 0 && !col("url").startsWith("#"))
-          .distinct()
-        frontier.addSeedsDF(urls)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (batchId > lastApplied) {
+          val urls = batch
+            .select(trim(col("value")).as("url"))
+            .filter(length(col("url")) > 0 && !col("url").startsWith("#"))
+            .distinct()
+          frontier.addSeedsDF(urls, props = Map(markerKey -> batchId.toString))
+        }
       }
       .start()
 }

@@ -56,6 +56,16 @@ class HashingSpec extends AnyFunSuite {
     assert(UrlUtil.canonicalize(c) == c)
   }
 
+  test("unquotePath preserves protected-escape case (w3lib _unquotepath)") {
+    // w3lib protects %2f/%3f with '%25' + the ORIGINAL hex digits, so the
+    // case of the escape survives canonicalization and the fingerprint
+    // matches the reference for lowercase escapes too
+    assert(UrlUtil.canonicalize("http://a.com/x%2fy") == "http://a.com/x%2fy")
+    assert(UrlUtil.canonicalize("http://a.com/x%2Fy") == "http://a.com/x%2Fy")
+    assert(UrlUtil.canonicalize("http://a.com/x%3fy") == "http://a.com/x%3fy")
+    assert(UrlUtil.canonicalize("http://a.com/x%3Fy%20z") == "http://a.com/x%3Fy%20z")
+  }
+
   test("urlparse basics match CPython tokenization") {
     val p = UrlUtil.urlparse(url1)
     assert(p.scheme == "https")

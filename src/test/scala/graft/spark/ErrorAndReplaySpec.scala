@@ -1,0 +1,107 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.local.Graphs
+import java.nio.file.{Files, Paths}
+
+/** Request-error path (reference core/manager.py:572-580, ERROR=3 at
+  * core/components.py:97-101), jid/epoch stale-event filtering
+  * (worker/strategy.py:53-71), and commit-crash resilience. */
+class ErrorAndReplaySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("fetch error: ERROR=3 state, error metadata, never re-scheduled, no links") {
+    val root = Files.createTempDirectory("graft-err").toString
+    val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = true)
+    f.addSeeds(Graphs.site02.seeds)
+    val dead = "http://bbb.com/11"
+    val c = new SparkCrawler(f, GraphTables.webDF(spark, Graphs.site02), 100,
+      fetchError = Some(col("url") === dead))
+    val seq = c.run()
+
+    // dequeued once, failed, never re-scheduled
+    assert(seq.count(_ == dead) == 1)
+    // its subtree is unreachable (no links extracted from a failed fetch)
+    assert(!seq.exists(_.startsWith(dead + "1")),
+      s"children of a failed fetch must not be crawled: $seq")
+    // the aaa tree is fully crawled regardless
+    assert(Graphs.site01.nodes.subsetOf(seq.toSet))
+
+    // state snapshot: ERROR=3
+    val fp = graft.core.Hashing.urlFingerprint(dead)
+    assert(f.stateSnapshot().get(fp).contains(graft.local.States.Error))
+
+    // metadata records the error string
+    val errMeta = f.metadata.read(spark)
+      .filter($"fingerprint" === fp).select($"status").as[String].collect()
+    assert(errMeta.length == 1 && errMeta.head.startsWith("fetch failed"),
+      errMeta.toList.toString)
+
+    // later links to the errored URL are dropped by the states check:
+    // replay an extracted link pointing at it in a later epoch
+    val qBefore = f.queueSize()
+    val links = Seq((0.5, 123L, 1, 0, dead))
+      .toDF("parent_score", "parent_created", "parent_depth", "link_idx", "link_url")
+    val pages = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("fingerprint", StringType),
+        StructField("url", StringType), StructField("depth", IntegerType),
+        StructField("score", DoubleType), StructField("created_at", LongType))))
+    f.processCrawled(pages, links, f.lastProcessedEpoch + 1)
+    assert(f.queueSize() == qBefore, "errored URL must not be re-scheduled")
+  }
+
+  test("jid filter: a replayed epoch batch is a no-op") {
+    val root = Files.createTempDirectory("graft-jid").toString
+    val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = true)
+    val pages = Seq(("fp-1", "http://a.com/1", 0, 0.0, 1L))
+      .toDF("fingerprint", "url", "depth", "score", "created_at")
+    val links = Seq((0.0, 1L, 0, 0, "http://a.com/2"), (0.0, 1L, 0, 1, "http://a.com/3"))
+      .toDF("parent_score", "parent_created", "parent_depth", "link_idx", "link_url")
+
+    f.processCrawled(pages, links, epochNo = 1)
+    val q1 = f.queueSize()
+    val s1 = f.stateSnapshot()
+    val m1 = f.metadata.read(spark).count()
+    assert(q1 == 2 && s1.size == 3)
+
+    // replay the SAME epoch (duplicate bus events after a restart)
+    f.processCrawled(pages, links, epochNo = 1)
+    assert(f.queueSize() == q1, "replayed epoch must not append to the queue")
+    assert(f.stateSnapshot() == s1)
+    assert(f.metadata.read(spark).count() == m1)
+    assert(f.lastProcessedEpoch == 1L)
+
+    // a NEW epoch still applies
+    val links2 = Seq((0.0, 1L, 0, 0, "http://a.com/4"))
+      .toDF("parent_score", "parent_created", "parent_depth", "link_idx", "link_url")
+    f.processCrawled(pages.limit(0), links2, epochNo = 2)
+    assert(f.queueSize() == 3)
+  }
+
+  test("orphan commit dir from a crashed writer does not brick the store") {
+    val root = Files.createTempDirectory("graft-orphan").toString
+    val store = new BucketStore(s"$root/t", "b", 4)
+    store.emptySchema = Some(StructType(Seq(
+      StructField("b", IntegerType), StructField("v", LongType))))
+    store.append(Seq((0, 1L), (1, 2L)).toDF("b", "v"), epoch = 0)
+    val v = store.currentVersion
+
+    // simulate a crash AFTER the next commit's data write but BEFORE the
+    // _CURRENT flip: an orphan commit dir (and even its manifest file)
+    Files.createDirectories(Paths.get(s"$root/t/data/commit=${v + 1}/b=0"))
+    Files.writeString(Paths.get(s"$root/t/data/commit=${v + 1}/b=0/junk.parquet"), "junk")
+    Files.createDirectories(Paths.get(s"$root/t/manifest"))
+    Files.writeString(Paths.get(s"$root/t/manifest/m${v + 1}.json"), "{corrupt")
+
+    // the next commit must clear the orphan and succeed
+    store.append(Seq((0, 3L)).toDF("b", "v"), epoch = 1)
+    assert(store.currentVersion == v + 1)
+    assert(store.read(spark).count() == 3)
+  }
+}

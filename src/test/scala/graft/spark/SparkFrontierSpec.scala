@@ -63,6 +63,57 @@ class SparkFrontierSpec extends AnyFunSuite {
     assert(sparkSeq == localSeq)
   }
 
+  private def localRunOrdered(graph: CrawlGraph, strategy: graft.local.CrawlStrategy,
+      ordering: QueueOrdering, mnr: Int): List[String] = {
+    val f = new LocalFrontier(strategy, ordering = ordering)
+    val t = new FrontierTester(f, graph, mnr)
+    t.run()
+    t.urlSequence
+  }
+
+  private def sparkRunOrdered(graph: CrawlGraph, strategy: ScoreStrategy,
+      ordering: QueueOrdering, mnr: Int, tag: String): List[String] = {
+    val root = Files.createTempDirectory(s"graft-$tag").toString
+    val frontier = new SparkFrontier(spark, root, partitions = 4,
+      stateBuckets = 4, strategy = strategy, globalOrder = true,
+      ordering = ordering)
+    frontier.addSeeds(graph.seeds)
+    new SparkCrawler(frontier, webDF(graph), mnr).run()
+  }
+
+  test("FIFO ordering (created ASC) SITE_02 matches the oracle at mnr=1 and 5") {
+    for (mnr <- Seq(1, 5)) {
+      val local = localRunOrdered(Graphs.site02,
+        new graft.local.BasicStrategy, QueueOrdering.Fifo, mnr)
+      val spk = sparkRunOrdered(Graphs.site02, ScoreStrategy.Basic,
+        QueueOrdering.Fifo, mnr, s"fifo$mnr")
+      assert(spk == local, s"mnr=$mnr")
+    }
+  }
+
+  test("LIFO ordering (created DESC) SITE_01 matches the oracle at mnr=1 and 2") {
+    for (mnr <- Seq(1, 2)) {
+      val local = localRunOrdered(Graphs.site01,
+        new graft.local.BasicStrategy, QueueOrdering.Lifo, mnr)
+      val spk = sparkRunOrdered(Graphs.site01, ScoreStrategy.Basic,
+        QueueOrdering.Lifo, mnr, s"lifo$mnr")
+      assert(spk == local, s"mnr=$mnr")
+    }
+  }
+
+  test("shipped BFS/DFS scores (strategy/depth.py:35-42) match the oracle") {
+    val lb = localRunOrdered(Graphs.site02,
+      new graft.local.ShippedBFSStrategy, QueueOrdering.ScoreCreated, 5)
+    val sb = sparkRunOrdered(Graphs.site02, ScoreStrategy.ShippedBFS,
+      QueueOrdering.ScoreCreated, 5, "shipb")
+    assert(sb == lb)
+    val ld = localRunOrdered(Graphs.site01,
+      new graft.local.ShippedDFSStrategy, QueueOrdering.ScoreCreated, 2)
+    val sd = sparkRunOrdered(Graphs.site01, ScoreStrategy.ShippedDFS,
+      QueueOrdering.ScoreCreated, 2, "shipd")
+    assert(sd == ld)
+  }
+
   test("checkpoint-resume: killing the driver mid-crawl loses nothing") {
     val root = Files.createTempDirectory("graft-resume").toString
     val graph = Graphs.site03

@@ -38,4 +38,29 @@ class SeedStreamSpec extends AnyFunSuite {
     val seq = crawler.run()
     assert(seq.toSet == Graphs.site02.nodes)
   }
+
+  test("replayed micro-batch is idempotent (batch marker commits with the rows)") {
+    // foreachBatch is at-least-once: simulate a replay by WIPING the
+    // stream checkpoint after a successful ingest — the source re-offers
+    // the same files under the same restarting batchIds; the queue
+    // manifest's last-applied marker must reject them
+    val root = Files.createTempDirectory("graft-seedreplay").toString
+    val seedsDir = Files.createTempDirectory("graft-seeds2").toString
+    val frontier = new SparkFrontier(spark, root, partitions = 4,
+      stateBuckets = 4, strategy = ScoreStrategy.BFS, globalOrder = true)
+    Files.writeString(Paths.get(seedsDir, "s.txt"), "http://aaa.com/1\n")
+    val s1 = new SeedStream(frontier, seedsDir)
+    s1.ingestAvailable()
+    assert(frontier.queueSize() == 1)
+    assert(s1.lastApplied == 0L)
+
+    // wipe the checkpoint: the replayed batch 0 must be skipped
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(new java.io.File(s"$root/seedstream-ckpt"))
+    new SeedStream(frontier, seedsDir).ingestAvailable()
+    assert(frontier.queueSize() == 1,
+      "replayed micro-batch must not append duplicate seed rows")
+  }
 }
