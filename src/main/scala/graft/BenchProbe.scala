@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.spark.{SparkFrontier, ScoreStrategy}
+
+/** Phase-level timing probe for the hot path (not the graded bench):
+  * breaks one drain into dequeue vs fetch-verify vs per-epoch commit
+  * time so regressions in the per-epoch fixed cost are attributable.
+  * Usage: runMain graft.BenchProbe [threads] [nUrls] [totalBatch] */
+object BenchProbe {
+  /** Plain-threads scaling probe of the image verify kernel (isolates
+    * codec/GC scaling from Spark). */
+  private def kernelProbe(): Unit = {
+    def run(nt: Int, perThread: Int): Double = {
+      val ths = (0 until nt).map { t =>
+        new Thread(() => {
+          var i = 0
+          while (i < perThread) {
+            val url = s"http://host${(t * perThread + i) % 600}.example/p/${t * perThread + i}"
+            val row = graft.images.ImageSynth.rowFor(url, 1, 64, 64)
+            if (!graft.images.ImageSynth.verifyRow(url, 1, row)) println("FAIL")
+            i += 1
+          }
+        })
+      }
+      val t0 = System.nanoTime()
+      ths.foreach(_.start()); ths.foreach(_.join())
+      nt.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
+    }
+    run(8, 500) // warmup
+    val r32 = run(32, 2000)
+    val r8 = run(8, 2000)
+    val r32b = run(32, 2000)
+    println(f"[kernel] urls/s @8=$r8%.0f @32=${math.max(r32, r32b)}%.0f eff=${math.max(r32, r32b) / r8 / 4}%.3f")
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("kernel")) { kernelProbe(); return }
+    val threads = args.headOption.map(_.toInt).getOrElse(32)
+    val n = args.lift(1).map(_.toLong).getOrElse(400000L)
+    val totalBatch = args.lift(2).map(_.toInt).getOrElse(262144)
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    val frontier = new SparkFrontier(spark, root, partitions = threads,
+      stateBuckets = threads, strategy = ScoreStrategy.BFS, globalOrder = false)
+    var t0 = System.nanoTime()
+    frontier.bulkSchedule(spark.range(n).select(
+      concat(lit("http://host"), $"id" % 600, lit(".example/p/"), $"id").as("url"),
+      (($"id" % 100).cast("double") / 100.0).as("score"),
+      ($"id" % 4).cast("int").as("depth")))
+    def lap(tag: String): Unit = {
+      val t1 = System.nanoTime()
+      println(f"[probe] $tag%-28s ${(t1 - t0) / 1e9}%8.2f s")
+      t0 = t1
+    }
+    lap("prefill")
+    var continue = true
+    var epochN = 0
+    while (continue) {
+      epochN += 1
+      val batch = frontier.nextBatch(totalBatch / threads)
+      val cnt0 = batch.count()
+      lap(s"epoch$epochN dequeue+count (scan ${frontier.lastScan.scannedPaths}/${frontier.lastScan.totalPaths})")
+      if (cnt0 == 0) continue = false
+      else {
+        println(s"[probe] batch partitions = ${batch.rdd.getNumPartitions}")
+        t0 = System.nanoTime()
+        val cnt = batch.select($"url", $"depth").as[(String, Int)]
+          .map { case (url, depth) =>
+            val row = graft.images.ImageSynth.rowFor(url, depth, 64, 64)
+            if (graft.images.ImageSynth.verifyRow(url, depth, row)) 1L else 0L
+          }.reduce(_ + _)
+        lap(s"epoch$epochN verify as-is ($cnt urls)")
+        val cnt2 = batch.repartition(threads).select($"url", $"depth").as[(String, Int)]
+          .map { case (url, depth) =>
+            val row = graft.images.ImageSynth.rowFor(url, depth, 64, 64)
+            if (graft.images.ImageSynth.verifyRow(url, depth, row)) 1L else 0L
+          }.reduce(_ + _)
+        lap(s"epoch$epochN verify repart ($cnt2 urls)")
+      }
+      batch.unpersist()
+    }
+    spark.stop()
+  }
+}

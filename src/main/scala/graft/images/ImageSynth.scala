@@ -21,8 +21,43 @@ object ImageSynth {
   // scaling. Memory-cached streams keep the codecs CPU-bound.
   javax.imageio.ImageIO.setUseCache(false)
 
+  // codecs are cached per thread: ImageIO.read/write scan the service
+  // registry on EVERY call (a shared structure — measurable contention
+  // at 32 threads); readers/writers themselves are reusable per thread
+  private val jpegWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](
+    () => ImageIO.getImageWritersByFormatName("jpeg").next())
+  private val pngWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](
+    () => ImageIO.getImageWritersByFormatName("png").next())
+  private val jpegReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](
+    () => ImageIO.getImageReadersByFormatName("jpeg").next())
+  private val pngReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](
+    () => ImageIO.getImageReadersByFormatName("png").next())
+
   final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int,
       h: Int, fmt: String, caption: String, phash: Long)
+
+  /** Reused per-thread scratch (the fetch+verify stage runs per row on
+    * every executor core: fresh 16KB arrays per call put ~100KB/url of
+    * allocation churn on the heap, and at 32 cores the resulting GC +
+    * memory-bandwidth pressure inverts thread scaling). */
+  private final class Scratch {
+    var px: Array[Int] = new Array[Int](0)
+    var px2: Array[Int] = new Array[Int](0)
+    var img: BufferedImage = null
+    val bos = new ByteArrayOutputStream(32 * 1024)
+    def buf1(n: Int): Array[Int] = {
+      if (px.length < n) px = new Array[Int](n); px
+    }
+    def buf2(n: Int): Array[Int] = {
+      if (px2.length < n) px2 = new Array[Int](n); px2
+    }
+    def image(w: Int, h: Int): BufferedImage = {
+      if (img == null || img.getWidth != w || img.getHeight != h)
+        img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img
+    }
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
 
   def seedOf(url: String): Long =
     Hashing.murmur128(UrlUtil.canonicalize(url).getBytes("UTF-8"), 42)._1
@@ -30,11 +65,16 @@ object ImageSynth {
   /** Smooth pseudo-random RGB pixel field (JPEG-friendly: low-frequency,
     * so q=0.97 stays above 40 dB PSNR). */
   def pixels(url: String, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    pixelsInto(url, w, h, out)
+    out
+  }
+
+  private def pixelsInto(url: String, w: Int, h: Int, px: Array[Int]): Unit = {
     val seed = seedOf(url)
     // low spatial frequency (≤2 periods across the image) keeps q=0.95
     // JPEG comfortably above the 40 dB bar on every seed
     val fr = 2.0 * math.Pi * (1 + ((seed >>> 8) & 1))
-    val px = new Array[Int](w * h)
     val p0 = (seed & 0xff).toDouble / 255.0
     val p1 = ((seed >>> 16) & 0xff).toDouble / 255.0
     val p2 = ((seed >>> 32) & 0xff).toDouble / 255.0
@@ -52,31 +92,35 @@ object ImageSynth {
       }
       y += 1
     }
-    px
   }
 
   private def toImage(px: Array[Int], w: Int, h: Int): BufferedImage = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val img = scratch.get().image(w, h)
     img.setRGB(0, 0, w, h, px, 0, w)
     img
   }
 
   def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(toImage(px, w, h), "png", out)
+    val writer = pngWriterTL.get()
+    val out = scratch.get().bos
+    out.reset()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(toImage(px, w, h), null, null), null)
+    ios.close()
     out.toByteArray
   }
 
   def encodeJpeg(px: Array[Int], w: Int, h: Int, quality: Float = 0.97f): Array[Byte] = {
-    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val writer = jpegWriterTL.get()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
-    val out = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(out)
+    val out = scratch.get().bos
+    out.reset()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     writer.setOutput(ios)
     writer.write(null, new IIOImage(toImage(px, w, h), null, null), param)
-    writer.dispose()
     ios.close()
     out.toByteArray
   }
@@ -124,7 +168,8 @@ object ImageSynth {
 
   /** Synthesize the full row for a URL. */
   def rowFor(url: String, depth: Int, w: Int = 64, h: Int = 64): ImageRow = {
-    val px = pixels(url, w, h)
+    val px = scratch.get().buf1(w * h)
+    pixelsInto(url, w, h, px)
     val host = UrlUtil.slotKey(url)
     val isPng = (Hashing.signedCrc32(host) & 1) == 0
     val bytes = if (isPng) encodePng(px, w, h) else encodeJpeg(px, w, h)
@@ -134,17 +179,27 @@ object ImageSynth {
 
   // ---- verification (the per-row invariant of the north rule) ----
 
-  def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    // sniff the magic bytes instead of a per-call registry scan
+    val isPng = bytes.length > 1 && (bytes(0) & 0xff) == 0x89
+    val reader = (if (isPng) pngReaderTL else jpegReaderTL).get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
+  }
 
   /** PSNR between reference pixels and a decoded image, in dB. */
   def psnr(ref: Array[Int], img: BufferedImage): Double = {
     val w = img.getWidth
     val h = img.getHeight
-    val got = img.getRGB(0, 0, w, h, null, 0, w)
+    val got = img.getRGB(0, 0, w, h, scratch.get().buf2(w * h), 0, w)
+    val n = w * h // ref may be an oversized reused buffer
     var mse = 0.0
     var i = 0
-    while (i < ref.length) {
+    while (i < n) {
       var c = 0
       while (c < 3) {
         val d = (((ref(i) >> (8 * c)) & 0xff) - ((got(i) >> (8 * c)) & 0xff)).toDouble
@@ -153,7 +208,7 @@ object ImageSynth {
       }
       i += 1
     }
-    mse /= (ref.length * 3)
+    mse /= (n * 3)
     if (mse == 0) Double.PositiveInfinity
     else 10 * math.log10(255.0 * 255.0 / mse)
   }
@@ -161,7 +216,8 @@ object ImageSynth {
   /** The invariant: lossless ⇒ exact pixels; lossy ⇒ PSNR ≥ 40 dB;
     * caption must match exactly. */
   def verifyRow(url: String, depth: Int, row: ImageRow): Boolean = {
-    val ref = pixels(url, row.w, row.h)
+    val ref = scratch.get().buf1(row.w * row.h)
+    pixelsInto(url, row.w, row.h, ref)
     val img = decode(row.bytes)
     val pixelOk =
       if (row.fmt == "png") psnr(ref, img).isPosInfinity

@@ -18,6 +18,10 @@ object QueueOrdering {
   /** sqlalchemy default: ORDER BY score ASC, created_at ASC (stable FIFO
     * within a score) — pins the BFS oracles. */
   case object ScoreCreated extends QueueOrdering
+  /** HBase/Redis semantics: HIGHEST score first (rowkey embeds 1-score,
+    * hbase/__init__.py:176-177; zrevrange) — the ordering the shipped
+    * discovery strategy's 0.9/0.8/0.7/0.5 scores are designed for. */
+  case object ScoreCreatedDesc extends QueueOrdering
   case object Fifo extends QueueOrdering
   case object Lifo extends QueueOrdering
 }
@@ -43,8 +47,10 @@ final class MemoryQueue(partitions: Int, ordering: QueueOrdering = QueueOrdering
   // FIFO/LIFO: stable created-order buffers (created_at == seq counter)
   private val buffers: Array[mutable.ArrayDeque[LocalRequest]] =
     Array.fill(partitions)(mutable.ArrayDeque.empty[LocalRequest])
-  // ScoreCreated: binary heap on (score, seq) — seq makes it stable
+  // ScoreCreated[Desc]: binary heap on (±score, seq) — seq keeps it stable
   private var seq = 0L
+  private val scoreSign =
+    if (ordering == QueueOrdering.ScoreCreatedDesc) -1.0 else 1.0
   private val ordered: Array[java.util.PriorityQueue[(Double, Long, LocalRequest)]] =
     Array.fill(partitions)(new java.util.PriorityQueue[(Double, Long, LocalRequest)](
       11, (x: (Double, Long, LocalRequest), y: (Double, Long, LocalRequest)) => {
@@ -63,8 +69,8 @@ final class MemoryQueue(partitions: Int, ordering: QueueOrdering = QueueOrdering
         val pid = partitionOf(request)
         ordering match {
           case QueueOrdering.Score => heaps(pid).push(request)
-          case QueueOrdering.ScoreCreated =>
-            ordered(pid).add((score, seq, request)); seq += 1
+          case QueueOrdering.ScoreCreated | QueueOrdering.ScoreCreatedDesc =>
+            ordered(pid).add((scoreSign * score, seq, request)); seq += 1
           case _ => buffers(pid).append(request)
         }
       }
@@ -73,7 +79,7 @@ final class MemoryQueue(partitions: Int, ordering: QueueOrdering = QueueOrdering
   override def getNextRequests(maxN: Int, partitionId: Int): List[LocalRequest] =
     ordering match {
       case QueueOrdering.Score => heaps(partitionId).popN(maxN)
-      case QueueOrdering.ScoreCreated =>
+      case QueueOrdering.ScoreCreated | QueueOrdering.ScoreCreatedDesc =>
         val q = ordered(partitionId)
         val n = if (maxN > 0) math.min(maxN, q.size) else q.size
         (0 until n).map(_ => q.poll()._3).toList

@@ -33,7 +33,11 @@ import scala.jdk.CollectionConverters._
   *    data write and the _CURRENT flip never bricks the store
   */
 final class BucketStore(val root: String, val bucketCol: String,
-    val buckets: Int, val bandCol: Option[String] = None) extends Serializable {
+    val buckets: Int, val bandCol: Option[String] = None,
+    /** long column whose per-path MAX is tracked in the manifest from
+      * the parquet footer stats (e.g. the queue's crawl_at — lets the
+      * dequeue prove a scan all-visible without reading data) */
+    val statCol: Option[String] = None) extends Serializable {
 
   private def currentPath = Paths.get(root, "_CURRENT")
   private def manifestPath(v: Long) = Paths.get(root, "manifest", s"m$v.json")
@@ -50,7 +54,9 @@ final class BucketStore(val root: String, val bucketCol: String,
       bucketPaths: Map[Int, List[String]], counters: Map[String, Long],
       pathRows: Map[String, Long] = Map.empty,
       bucketVersions: Map[Int, Long] = Map.empty,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      /** per-path max of statCol (absent = unknown, be conservative) */
+      pathMax: Map[String, Long] = Map.empty)
 
   def readManifest(): Manifest = {
     val v = currentVersion
@@ -67,6 +73,8 @@ final class BucketStore(val root: String, val bucketCol: String,
       json.obj.get("bucketv").map(_.obj.map { case (k, n) => k.toInt -> n.toLong })
         .getOrElse(Map.empty),
       json.obj.get("props").map(_.obj.map { case (k, s) => k -> s.str })
+        .getOrElse(Map.empty),
+      json.obj.get("pathmax").map(_.obj.map { case (k, n) => k -> n.toLong })
         .getOrElse(Map.empty))
   }
 
@@ -97,7 +105,10 @@ final class BucketStore(val root: String, val bucketCol: String,
     val propsJson = m.props.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${jstr(k)}:${jstr(v)}"
     }.mkString("{", ",", "}")
-    val json = s"""{"epoch":${m.epoch},"buckets":$bucketsJson,"counters":$countersJson,"rows":$rowsJson,"bucketv":$bvJson,"props":$propsJson}"""
+    val pathMaxJson = m.pathMax.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:$v"
+    }.mkString("{", ",", "}")
+    val json = s"""{"epoch":${m.epoch},"buckets":$bucketsJson,"counters":$countersJson,"rows":$rowsJson,"bucketv":$bvJson,"props":$propsJson,"pathmax":$pathMaxJson}"""
     Files.createDirectories(manifestPath(m.version).getParent)
     Files.writeString(manifestPath(m.version), json)
     val tmp = Paths.get(root, s"_CURRENT.tmp${m.version}")
@@ -133,11 +144,13 @@ final class BucketStore(val root: String, val bucketCol: String,
   /** Declared schema (also used for reads before the first commit). */
   @transient var emptySchema: Option[org.apache.spark.sql.types.StructType] = None
 
-  private final case class LeafDir(bucket: Int, path: String, rows: Long)
+  private final case class LeafDir(bucket: Int, path: String, rows: Long,
+      statMax: Option[Long])
 
   /** Walk the committed dir: bucket level, plus band level when banded;
-    * row counts from the parquet footers (driver-side metadata only, no
-    * Spark job — the Iceberg-manifest file-stats analog). */
+    * row counts + statCol max from the parquet footers (driver-side
+    * metadata only, no Spark job — the Iceberg-manifest file-stats
+    * analog). */
   private def leafDirs(commitDir: Path): Seq[LeafDir] = {
     if (!Files.exists(commitDir)) return Nil
     def rel(p: Path): String =
@@ -154,20 +167,47 @@ final class BucketStore(val root: String, val bucketCol: String,
             .toSeq
         case None => Seq(bp)
       }
-      leaves.map(p => LeafDir(bucket, s"$root/${rel(p)}", footerRows(p)))
+      leaves.map { p =>
+        val (rows, mx) = footerStats(p)
+        LeafDir(bucket, s"$root/${rel(p)}", rows, mx)
+      }
     }
   }
 
-  private def footerRows(dir: Path): Long =
+  private def footerStats(dir: Path): (Long, Option[Long]) = {
+    var rows = 0L
+    var mx: Option[Long] = statCol.map(_ => Long.MinValue)
     Files.list(dir).iterator.asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
+      .foreach { p =>
         val hpath = new org.apache.hadoop.fs.Path(p.toUri)
         val conf = new org.apache.hadoop.conf.Configuration()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hpath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+        try {
+          rows += r.getRecordCount
+          statCol.foreach { sc =>
+            r.getFooter.getBlocks.forEach { block =>
+              block.getColumns.forEach { cc =>
+                if (cc.getPath.toDotString == sc) {
+                  val st = cc.getStatistics
+                  if (st == null || st.isEmpty || !st.hasNonNullValue) mx = None
+                  else {
+                    val v: Option[Long] = st.genericGetMax match {
+                      case l: java.lang.Long => Some(l.longValue())
+                      case i: java.lang.Integer => Some(i.longValue())
+                      case _ => None // unknown physical type: no stat
+                    }
+                    mx = for (m <- mx; x <- v) yield math.max(m, x)
+                  }
+                }
+              }
+            }
+          }
+        } finally r.close()
+      }
+    (rows, mx.filter(_ != Long.MinValue))
+  }
 
   private def writeEpochData(df: DataFrame, commitV: Long): Seq[LeafDir] = {
     // every commit writes a fresh immutable directory (keyed by manifest
@@ -218,8 +258,10 @@ final class BucketStore(val root: String, val bucketCol: String,
           addedByBucket.getOrElse(k, Nil).map(_.path))
       }.toMap
       val rows = m.pathRows ++ added.map(l => l.path -> l.rows)
+      val pmax = m.pathMax ++ added.flatMap(l => l.statMax.map(l.path -> _))
       val bv = m.bucketVersions ++ addedByBucket.keySet.map(_ -> v)
-      writeManifest(Manifest(v, epoch, merged, counters, rows, bv, m.props ++ props))
+      writeManifest(Manifest(v, epoch, merged, counters, rows, bv,
+        m.props ++ props, pmax))
     }
 
   /** Replace the full content of the buckets present in `df` (and of
@@ -241,8 +283,10 @@ final class BucketStore(val root: String, val bucketCol: String,
       val keptPaths = merged.values.flatten.toSet
       val rows = m.pathRows.view.filterKeys(keptPaths).toMap ++
         written.map(l => l.path -> l.rows)
+      val pmax = m.pathMax.view.filterKeys(keptPaths).toMap ++
+        written.flatMap(l => l.statMax.map(l.path -> _))
       val bv = m.bucketVersions ++ touched.map(_ -> v)
-      writeManifest(Manifest(v, epoch, merged, counters, rows, bv, m.props))
+      writeManifest(Manifest(v, epoch, merged, counters, rows, bv, m.props, pmax))
     }
 
   /** Replace only the named leaf dirs: the new manifest drops
@@ -250,7 +294,8 @@ final class BucketStore(val root: String, val bucketCol: String,
     * dequeue rewrite (reads N files, rewrites N files, leaves the other
     * O(queue/batch) files untouched). */
   def replacePaths(df: DataFrame, epoch: Long, removePaths: Set[String],
-      counters: Map[String, Long] = Map.empty): Unit =
+      counters: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty): Unit =
     withCommitLock {
       val m = readManifest()
       val v = m.version + 1
@@ -267,8 +312,11 @@ final class BucketStore(val root: String, val bucketCol: String,
       val keptPaths = merged.values.flatten.toSet
       val rows = m.pathRows.view.filterKeys(keptPaths).toMap ++
         written.map(l => l.path -> l.rows)
+      val pmax = m.pathMax.view.filterKeys(keptPaths).toMap ++
+        written.flatMap(l => l.statMax.map(l.path -> _))
       val bv = m.bucketVersions ++ touched.map(_ -> v)
-      writeManifest(Manifest(v, epoch, merged, counters, rows, bv, m.props))
+      writeManifest(Manifest(v, epoch, merged, counters, rows, bv,
+        m.props ++ props, pmax))
     }
 
   /** Atomically append to this store as part of epoch bookkeeping only
@@ -278,7 +326,7 @@ final class BucketStore(val root: String, val bucketCol: String,
     withCommitLock {
       val m = readManifest()
       writeManifest(Manifest(m.version + 1, epoch, m.bucketPaths, counters,
-        m.pathRows, m.bucketVersions, m.props ++ props))
+        m.pathRows, m.bucketVersions, m.props ++ props, m.pathMax))
     }
 
   // -- tiny JSON parser for the manifest shape we write ----------------

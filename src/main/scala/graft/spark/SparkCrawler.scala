@@ -21,7 +21,20 @@ final class SparkCrawler(
     /** fetch-failure predicate over the batch row (url/host/depth/...):
       * matching rows take the request_error path — ERROR state + error
       * metadata, no links, never re-scheduled */
-    fetchError: Option[org.apache.spark.sql.Column] = None) {
+    fetchError: Option[org.apache.spark.sql.Column] = None,
+    /** response bodies for robots.txt / sitemap URLs, (url, body) — the
+      * discovery bootstrap (reference _process_robots_txt /
+      * _process_sitemap): a fetched robots response yields the domain's
+      * home-page link + its `Sitemap:` directives and persists the body
+      * into domain_metadata; a fetched sitemap yields its `<loc>` URLs */
+    bodies: Option[DataFrame] = None,
+    /** redirect chains, (url, redirect_urls array) — fetching `url`
+      * lands on the chain's LAST url. J3 canonical solver
+      * (Corresponding2First, contrib/canonicalsolvers/basic.py:37-49):
+      * the page keeps the dequeued url's identity, links come from the
+      * landing page, and every chain member is marked CRAWLED so later
+      * links to it never re-crawl */
+    redirects: Option[DataFrame] = None) {
 
   private val spark: SparkSession = frontier.spark
   import spark.implicits._
@@ -43,6 +56,8 @@ final class SparkCrawler(
             Seq($"created_at".asc, $"url".asc)
           case graft.local.QueueOrdering.Lifo =>
             Seq($"created_at".desc, $"url".asc)
+          case graft.local.QueueOrdering.ScoreCreatedDesc =>
+            Seq($"score".desc, $"created_at".asc, $"url".asc)
           case _ => Seq($"score".asc, $"created_at".asc, $"url".asc)
         }
         val ordered = batch.orderBy(orderCols: _*)
@@ -52,8 +67,11 @@ final class SparkCrawler(
       } else if (verifyPayloadOnFetch) {
         // one job: the "fetch" — synthesize the deterministic payload,
         // decode it, check the PSNR/caption invariant (executor-side) —
-        // fused with the batch count
-        val (cnt, fails) = batch.select($"url", $"depth").as[(String, Int)]
+        // fused with the batch count; rebalanced across all cores (the
+        // per-row codec work is the heavy part, not the row count)
+        val (cnt, fails) = batch
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select($"url", $"depth").as[(String, Int)]
           .map { case (url, depth) =>
             val row = graft.images.ImageSynth.rowFor(url, depth, 64, 64)
             (1L, if (graft.images.ImageSynth.verifyRow(url, depth, row)) 0L else 1L)
@@ -83,8 +101,22 @@ final class SparkCrawler(
       case None => ok
     }
     val pages = fetched.select($"fingerprint", $"url", $"depth", $"score", $"created_at")
-    val links = ok
-      .join(web, Seq("url"), "left_outer")
+    // redirect resolution: links come from the LANDING url's page; the
+    // batch row keeps the dequeued url as its identity (J3)
+    val (okContent, aliasSeen) = redirects match {
+      case Some(r) =>
+        val withR = ok.join(r, Seq("url"), "left_outer")
+        val content = withR.withColumn("__curl",
+          coalesce(element_at($"redirect_urls", -1), $"url"))
+        val alias = withR
+          .select(explode(coalesce($"redirect_urls", array())).as("__aurl"))
+          .select(FrontierExprs.url_fingerprint($"__aurl").as("fingerprint"))
+        (content, Some(alias))
+      case None => (ok.withColumn("__curl", $"url"), None)
+    }
+    val webLinks = okContent
+      .join(web.withColumnRenamed("url", "__wurl"),
+        okContent("__curl") === col("__wurl"), "left_outer")
       .select($"url".as("parent_url"),
         $"score".as("parent_score"), $"created_at".as("parent_created"),
         $"depth".as("parent_depth"),
@@ -92,8 +124,38 @@ final class SparkCrawler(
       .withColumnRenamed("pos", "link_idx")
       .withColumnRenamed("col", "link_url")
       .filter($"link_url".isNotNull)
+
+    // discovery bootstrap: robots/sitemap responses produce strategy
+    // links (home page at 0.8, sitemap probes at 0.9, <loc> URLs) and
+    // the robots body for domain_metadata
+    val (links, domainData) = bodies match {
+      case None => (webLinks, None)
+      case Some(bod) =>
+        val withBody = ok.join(bod, Seq("url"), "left_outer")
+        val isRobots = $"url".endsWith("/robots.txt") && $"body".isNotNull
+        val isSitemap = $"url".rlike("sitemap[^/]*\\.xml$") && $"body".isNotNull
+        def parentCols = Seq($"url".as("parent_url"),
+          $"score".as("parent_score"), $"created_at".as("parent_created"),
+          $"depth".as("parent_depth"))
+        val robotsLinks = withBody.filter(isRobots)
+          .select(parentCols :+ posexplode(array_union(
+            array(regexp_replace($"url", "/robots\\.txt$", "/")),
+            regexp_extract_all($"body", lit("(?m)^Sitemap:\\s*(\\S+)"), lit(1)))): _*)
+          .withColumnRenamed("pos", "link_idx")
+          .withColumnRenamed("col", "link_url")
+        val sitemapLinks = withBody.filter(isSitemap)
+          .select(parentCols :+ posexplode(
+            regexp_extract_all($"body", lit("<loc>([^<]+)</loc>"), lit(1))): _*)
+          .withColumnRenamed("pos", "link_idx")
+          .withColumnRenamed("col", "link_url")
+        val dd = withBody.filter(isRobots).select(
+          FrontierExprs.sld(FrontierExprs.url_host($"url")).as("domain"),
+          $"body".as("robots_body"))
+        (webLinks.unionByName(robotsLinks).unionByName(sitemapLinks), Some(dd))
+    }
     frontier.processCrawled(pages, links, epochNo,
-      nPages = if (fetchError.isEmpty) n else -1L, errors = errs)
+      nPages = if (fetchError.isEmpty) n else -1L, errors = errs,
+      domainData = domainData, aliasSeen = aliasSeen)
     batch.unpersist()
     true
   }

@@ -120,7 +120,20 @@ final class SparkFrontier(
       * host-hash justification, per-domain max_pages budget). When set,
       * link scores come from the discovery classifier, not `strategy`,
       * and `links` must carry a `parent_url` column. */
-    val discovery: Option[DiscoveryConfig] = None) extends Serializable {
+    val discovery: Option[DiscoveryConfig] = None,
+    /** middleware chain (reference Middleware/components.py:224-236 —
+      * the pipeline applies each in declared order to the extracted-link
+      * frame after the identity columns, before the robots/states
+      * filters; a transform that filters rows out drops them from the
+      * chain, like a middleware returning None) */
+    val linkTransforms: Seq[DataFrame => DataFrame] = Nil,
+    /** A7 offset-lag flow control (reference incoming_consumer.py:99-114):
+      * track per-partition in-flight rows (dequeued − processed, the
+      * producer−consumer offset lag); a partition whose lag reaches the
+      * batch budget is "busy" and skipped by the next dequeue until its
+      * results are processed. Off by default (the synchronous epoch loop
+      * is self-gating); enable for pipelined/async fetching. */
+    val flowControl: Boolean = false) extends Serializable {
 
   import spark.implicits._
 
@@ -146,14 +159,19 @@ final class SparkFrontier(
     * is met and rewrites only those files, so each epoch's queue I/O is
     * O(batch), not O(queue). */
   val queue = new BucketStore(s"$root/queue", "partition_id", partitions,
-    bandCol = Some("band"))
+    bandCol = Some("band"), statCol = Some("crawl_at"))
   val states = new BucketStore(s"$root/states", "sbucket", stateBuckets)
   val metadata = new BucketStore(s"$root/metadata", "partition_id", partitions)
   /** per-domain KV (J2/A4; reference core/components.py:137-181,
-    * hbase/domaincache.py): queued-pages budget counters, bucketed by
-    * the domain partitioner so counter merges are co-located */
+    * hbase/domaincache.py): queued-pages budget counters, the domain's
+    * robots.txt body (discovery stores the parser per 2nd-level domain,
+    * discovery/__init__.py:53-60), and the capped subdomain set
+    * (:252-254, MAX_SUBDOMAINS) — bucketed by the domain partitioner so
+    * merges are co-located */
   val domainMetaSchema: StructType = StructType(Seq(
     StructField("domain", StringType), StructField("queued_pages", LongType),
+    StructField("robots_body", StringType),
+    StructField("subdomains", ArrayType(StringType)),
     StructField("dbucket", IntegerType)))
   val domainMeta = new BucketStore(s"$root/domain_metadata", "dbucket", partitions)
   val bloomSeen = new BloomSeen(s"$root/states")
@@ -192,6 +210,31 @@ final class SparkFrontier(
       .withColumn("crawl_at", lit(0L))
       .select(queueSchema.fieldNames.map(col): _*)
     queue.append(withBand(df), epoch, Map("seeds" -> seedUrls.length.toLong))
+  }
+
+  /** Discovery seed bootstrap (reference process_seeds,
+    * discovery/__init__.py:191-213): schedule each seed's robots.txt
+    * PROBE at score 0.9 instead of the seed itself — the home page is
+    * scheduled at 0.8 once the robots response is processed (and the
+    * robots body lands in domain_metadata for the link deny filter).
+    * Scores are host-hash-justified like every discovery schedule. */
+  def addSeedsDiscovery(seedUrls: Seq[String]): Unit = {
+    val probes = seedUrls.map { u =>
+      val p = graft.core.UrlUtil.urlparse(u)
+      val scheme = if (p.scheme.isEmpty) "http" else p.scheme
+      s"$scheme://${p.netloc}/robots.txt"
+    }.distinct
+    val justify = discovery.forall(_.justifyScores)
+    val score: Column =
+      if (justify) FrontierExprs.justify_score($"host", lit(0.9)) else lit(0.9)
+    val df = identity(probes.zipWithIndex.toDF("url", "seq"), "url")
+      .withColumn("score", score)
+      .withColumn("created_at", $"seq".cast(LongType))
+      .withColumn("depth", lit(0))
+      .withColumn("crawl_at", lit(0L))
+      .select(queueSchema.fieldNames.map(col): _*)
+    queue.append(withBand(df), epoch,
+      Map("robots_probes" -> probes.length.toLong))
   }
 
   /** Seed injection from a DataFrame with a `url` column (streaming /
@@ -245,27 +288,40 @@ final class SparkFrontier(
     // crawl_at visibility (delayed revisit): invisible rows stay queued
     val nowEpoch = if (atEpoch >= 0) atEpoch else epoch
     val m = queue.readManifest()
+    // A7: busy partitions (in-flight lag >= budget) produce no batch
+    // until their results are processed — the reference's ready/busy
+    // feed-partition gate
+    def inflight(b: Int): Long =
+      m.props.get(s"fc.p$b").map(_.toLong).getOrElse(0L)
     // per bucket: bands sorted best-first with manifest row counts
     val bandsByBucket: Map[Int, Vector[(Int, Vector[String], Long)]] =
-      m.bucketPaths.map { case (b, ps) =>
-        b -> ps.groupBy(queue.bandOf).toVector.sortBy(_._1)
-          .map { case (band, paths) =>
-            (band, paths.toVector,
-              paths.map(p => m.pathRows.getOrElse(p, Long.MaxValue / 1024)).sum)
-          }
-      }
-    val totalPaths = m.bucketPaths.valuesIterator.map(_.size).sum
+      m.bucketPaths
+        .filter { case (b, _) => !flowControl || inflight(b) < maxNextRequests }
+        .map { case (b, ps) =>
+          b -> ps.groupBy(queue.bandOf).toVector.sortBy(_._1)
+            .map { case (band, paths) =>
+              (band, paths.toVector,
+                paths.map(p => m.pathRows.getOrElse(p, Long.MaxValue / 1024)).sum)
+            }
+        }
+    // total over ACTIVE buckets (busy partitions are out of this dequeue)
+    val totalPaths = bandsByBucket.valuesIterator.map(_.iterator.map(_._2.size).sum).sum
 
     // band pruning applies only to the score orderings (bands partition
-    // the score axis); Fifo/Lifo (created_at orderings) scan all bands —
-    // the reference SQL queue has no score layout for them either
+    // the score axis — scanned ascending for the min-first default,
+    // DESCENDING for ScoreCreatedDesc, the HBase highest-first rowkey
+    // scan); Fifo/Lifo (created_at orderings) scan all bands — the
+    // reference SQL queue has no score layout for them either
     import graft.local.QueueOrdering
     val scorePruned = ordering == QueueOrdering.ScoreCreated ||
-      ordering == QueueOrdering.Score
+      ordering == QueueOrdering.Score ||
+      ordering == QueueOrdering.ScoreCreatedDesc
+    val bandSign = if (ordering == QueueOrdering.ScoreCreatedDesc) -1 else 1
 
     // band prefix covering `limit` rows per bucket (whole bands only)
     def prefixFor(limit: Double): Map[Int, Vector[(Int, Vector[String])]] =
-      bandsByBucket.map { case (b, bands) =>
+      bandsByBucket.map { case (b, bands0) =>
+        val bands = bands0.sortBy(t => bandSign * t._1)
         if (!scorePruned) b -> bands.map(t => (t._1, t._2))
         else {
           var acc = 0L
@@ -283,6 +339,8 @@ final class SparkFrontier(
     val orderCols = ordering match {
       case QueueOrdering.Fifo => Seq($"created_at".asc, $"url".asc)
       case QueueOrdering.Lifo => Seq($"created_at".desc, $"url".asc)
+      case QueueOrdering.ScoreCreatedDesc =>
+        Seq($"score".desc, $"created_at".asc, $"url".asc)
       case _ => Seq($"score".asc, $"created_at".asc, $"url".asc)
     }
     val rankW =
@@ -343,10 +401,14 @@ final class SparkFrontier(
       val paths = prefix.valuesIterator.flatMap(_.flatMap(_._2)).toSeq
       if (tagged != null) tagged.unpersist()
       tagged = tagVisibilityAware(queue.readPaths(spark, paths)).cache()
-      if (nPaths(prefix) == totalPaths) {
-        // the scan covers the whole queue — exact by construction, no
-        // shortfall stats needed (the common case while a small queue
-        // drains; keeps the per-epoch job count at round-trip minimum)
+      // a prefix is provably sufficient WITHOUT a stats job when it
+      // covers the whole queue, or when (no politeness caps and) the
+      // manifest's per-path crawl_at maxima prove every scanned row
+      // visible — prefixFor already guarantees >= budget rows per bucket
+      val provablyVisible = maxPerHost == 0 && minHosts <= 0 &&
+        prefix.valuesIterator.flatMap(_.iterator.flatMap(_._2)).forall(p =>
+          m.pathMax.get(p).exists(_ <= nowEpoch))
+      if (nPaths(prefix) == totalPaths || provablyVisible) {
         done = true
       } else {
         val stats = tagged.groupBy($"partition_id").agg(
@@ -405,9 +467,15 @@ final class SparkFrontier(
         .filter(!$"__sel" && groupKey.isInCollection(touchedKeys))
         .select(queueSchema.fieldNames.map(col): _*)
       val perPartition = touchedGroups.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      // A7: bump the in-flight gauge of every partition this batch drew from
+      val fcProps =
+        if (!flowControl) Map.empty[String, String]
+        else perPartition.map { case (b, n) =>
+          s"fc.p$b" -> (inflight(b) + n).toString }.toMap
       queue.replacePaths(withBand(remaining), epoch, removePaths,
         counters = Map("dequeued" -> touchedGroups.map(_._3).sum) ++
-          perPartition.map { case (p, n) => s"dequeued.p$p" -> n })
+          perPartition.map { case (p, n) => s"dequeued.p$p" -> n },
+        props = fcProps)
     }
     tagged.unpersist()
     batch
@@ -438,21 +506,52 @@ final class SparkFrontier(
     * manifest) is dropped wholesale — replays of already-applied bus
     * events are idempotent. */
   def processCrawled(pages: DataFrame, links: DataFrame, epochNo: Long,
-      nPages: Long = -1L, errors: Option[DataFrame] = None): Unit = {
+      nPages: Long = -1L, errors: Option[DataFrame] = None,
+      /** discovery: robots bodies fetched this epoch, (domain, robots_body) —
+        * merged into domain_metadata (reference _process_robots_txt,
+        * discovery/__init__.py:284-333) */
+      domainData: Option[DataFrame] = None,
+      /** canonical-solver aliases (J3, contrib/canonicalsolvers/basic.py
+        * Corresponding2First): fingerprints of redirect-chain members —
+        * the document keeps the FIRST url's identity, but every chain
+        * member becomes CRAWLED so later links to it are deduped; no
+        * metadata row of its own */
+      aliasSeen: Option[DataFrame] = None): Unit = {
     if (epochNo <= lastProcessedEpoch) return // stale replay (jid filter)
-    val pageStates = pages.select($"fingerprint").distinct()
+    val aliasStates = aliasSeen.map(_.select($"fingerprint").distinct()
+      .withColumn("state", lit(graft.local.States.Crawled)))
+    val pageStates0 = pages.select($"fingerprint").distinct()
       .withColumn("state", lit(graft.local.States.Crawled))
+    val pageStates = aliasStates.fold(pageStates0)(a =>
+      pageStates0.unionByName(a).dropDuplicates("fingerprint"))
 
-    val l1 = identity(links, "link_url")
+    // middleware chain in declared order (2.11) over the identified links
+    val l1 = linkTransforms.foldLeft(identity(links, "link_url"))((df, t) => t(df))
+    // probe URLs (robots.txt / sitemap fetches) are scheduled by the
+    // strategy itself, outside the robots deny (reference schedules them
+    // via _schedule_once, not filter_extracted_links)
+    def isProbe(u: Column): Column =
+      u.endsWith("/robots.txt") || u.rlike("sitemap[^/]*\\.xml$")
     // F2/F3: filter_extracted_links — robots deny before the states
-    // lookup (saves the KV fetch, exactly the reference's motivation)
-    val l0a = robots match {
-      case Some(dm) =>
+    // lookup (saves the KV fetch, exactly the reference's motivation).
+    // The robots source is either the caller-supplied static table or,
+    // under discovery, the robots bodies persisted in domain_metadata
+    // (keyed by 2nd-level domain, like the reference's domain dict).
+    val l0a = (robots, discovery) match {
+      case (Some(dm), _) =>
         l1.join(broadcast(dm.select($"host", $"robots_body")), Seq("host"), "left_outer")
           .filter(FrontierExprs.robots_can_fetch($"link_url",
-            coalesce($"robots_body", lit(""))))
+            coalesce($"robots_body", lit(""))) || isProbe($"link_url"))
           .drop("robots_body")
-      case None => l1
+      case (None, Some(_)) =>
+        val dmRobots = domainMeta.read(spark)
+          .filter($"robots_body".isNotNull)
+          .select($"domain".as("__rdom"), $"robots_body")
+        l1.join(dmRobots, FrontierExprs.sld($"host") === $"__rdom", "left_outer")
+          .filter(FrontierExprs.robots_can_fetch($"link_url",
+            coalesce($"robots_body", lit(""))) || isProbe($"link_url"))
+          .drop("__rdom", "robots_body")
+      case _ => l1
     }
     // F5: same-domain filter (discovery _is_from_same_domain,
     // discovery/__init__.py:516-523) — also part of
@@ -472,6 +571,9 @@ final class SparkFrontier(
         Seq($"parent_created".asc, $"link_idx".asc, $"link_url".asc)
       case graft.local.QueueOrdering.Lifo =>
         Seq($"parent_created".desc, $"link_idx".asc, $"link_url".asc)
+      case graft.local.QueueOrdering.ScoreCreatedDesc =>
+        Seq($"parent_score".desc, $"parent_created".asc, $"link_idx".asc,
+          $"link_url".asc)
       case _ =>
         Seq($"parent_score".asc, $"parent_created".asc, $"link_idx".asc,
           $"link_url".asc)
@@ -553,10 +655,13 @@ final class SparkFrontier(
     // 374-401, 47-50); otherwise the strategy's score expression
     val scoreCol = discovery match {
       case Some(d) =>
-        val classScore = when(FrontierExprs.is_home_page($"link_url"), lit(0.8))
-          .otherwise(d.interestPattern
-            .map(p => when($"link_url".rlike(p), lit(0.7)).otherwise(lit(0.5)))
-            .getOrElse(lit(0.5)))
+        // probes (robots/sitemap fetches) 0.9 > home 0.8 > interest 0.7 >
+        // other 0.5 — dequeued highest-first under ScoreCreatedDesc
+        val classScore = when(isProbe($"link_url"), lit(0.9))
+          .otherwise(when(FrontierExprs.is_home_page($"link_url"), lit(0.8))
+            .otherwise(d.interestPattern
+              .map(p => when($"link_url".rlike(p), lit(0.7)).otherwise(lit(0.5)))
+              .getOrElse(lit(0.5))))
         if (d.justifyScores) FrontierExprs.justify_score($"host", classScore)
         else classScore
       case None => strategy.linkScore($"parent_depth")
@@ -585,8 +690,23 @@ final class SparkFrontier(
       case _ => scheduled0
     }).select(queueSchema.fieldNames.map(col): _*).cache()
 
-    val nScheduled = scheduled.count()
+    // states updates (crawled CRAWLED + errored ERROR + scheduled QUEUED)
+    // built up front: ONE aggregation job yields both the scheduled count
+    // and the touched state buckets (epoch fixed cost matters — SURVEY
+    // §6's per-epoch overhead is per-job latency × job count)
+    val updates = errorStates.fold(pageStates)(pageStates.unionByName(_))
+      .union(scheduled.select($"fingerprint")
+        .withColumn("state", lit(graft.local.States.Queued)))
+      .withColumn("sbucket", sbucketCol($"fingerprint"))
+      .select(statesSchema.fieldNames.map(col): _*)
+      .cache()
+    val updStats = updates.groupBy($"sbucket", $"state").count()
+      .as[(Int, Int, Long)].collect()
+    val touched = updStats.map(_._1).toSet
+    val nScheduled = updStats.collect {
+      case (_, s, n) if s == graft.local.States.Queued => n }.sum
     probeCache.foreach(_.unpersist())
+
     // revisit: crawled pages re-enter the queue, visible `interval`
     // epochs from now (reference crawl_at, hbase/__init__.py:124)
     val toAppend = revisitIntervalEpochs match {
@@ -599,30 +719,67 @@ final class SparkFrontier(
         scheduled.union(revisits)
       case None => scheduled
     }
+    // A7: processing results releases the partitions' in-flight gauge
+    val fcProps: Map[String, String] =
+      if (!flowControl) Map.empty
+      else {
+        val pp = pages.select(host_partition(url_host($"url"), partitions).as("p"))
+        val all = errors.fold(pp)(e => pp.unionByName(
+          e.select(host_partition(url_host($"url"), partitions).as("p"))))
+        val cur = queue.readManifest().props
+        all.groupBy($"p").count().as[(Int, Long)].collect().map { case (b, n) =>
+          s"fc.p$b" -> math.max(0L,
+            cur.getOrElse(s"fc.p$b", "0").toLong - n).toString
+        }.toMap
+      }
     // the queue commit is the epoch's publish point — the jid marker
     // rides in the same atomic manifest flip
     queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled),
-      props = Map(jidKey -> epochNo.toString))
+      props = Map(jidKey -> epochNo.toString) ++ fcProps)
 
-    // domain_metadata merge (A4/J2): bump each domain's queued_pages by
-    // this epoch's schedules — MERGE INTO per epoch, bucket-pruned
-    if (discovery.exists(_.maxPagesPerDomain > 0)) {
-      val newCounts = scheduled
+    // domain_metadata merge (A4/J2/§2.7): per-domain queued_pages bump,
+    // robots bodies fetched this epoch, and the capped subdomain set —
+    // one MERGE INTO per epoch, bucket-pruned
+    if (discovery.isDefined || domainData.isDefined) {
+      val nullStr = lit(null).cast(StringType)
+      val nullArr = lit(null).cast(ArrayType(StringType))
+      val counts = scheduled
         .groupBy(FrontierExprs.sld($"host").as("domain"))
-        .agg(count(lit(1)).as("add"))
-        .withColumn("dbucket", host_partition($"domain", partitions))
-        .cache()
-      val touchedD = newCounts.select($"dbucket").distinct().as[Int].collect().toSet
+        .agg(count(lit(1)).as("qp"))
+        .select($"domain", $"qp", nullStr.as("robots_body"),
+          nullArr.as("subdomains"), lit(1).as("prio"))
+      // chosen links' hostnames feed the domain's subdomain set
+      // (discovery/__init__.py:252-254; capped like MAX_SUBDOMAINS)
+      val subs =
+        if (discovery.isDefined)
+          Some(l0.select(FrontierExprs.sld($"host").as("domain"), $"host").distinct()
+            .groupBy($"domain").agg(collect_set($"host").as("subdomains"))
+            .select($"domain", lit(0L).as("qp"), nullStr.as("robots_body"),
+              $"subdomains", lit(1).as("prio")))
+        else None
+      val robotsRows = domainData.map(dd =>
+        dd.select($"domain", lit(0L).as("qp"), $"robots_body",
+          nullArr.as("subdomains"), lit(1).as("prio")))
+      val contribs = (Seq(counts) ++ subs ++ robotsRows).reduce(_.unionByName(_))
+        .withColumn("dbucket", host_partition($"domain", partitions)).cache()
+      val touchedD = contribs.select($"dbucket").distinct().as[Int].collect().toSet
       if (touchedD.nonEmpty) {
-        val merged = domainMeta.readBuckets(spark, Some(touchedD))
-          .select($"domain", $"queued_pages")
-          .unionByName(newCounts.select($"domain", $"add".as("queued_pages")))
-          .groupBy($"domain").agg(sum($"queued_pages").as("queued_pages"))
+        val oldRows = domainMeta.readBuckets(spark, Some(touchedD))
+          .select($"domain", $"queued_pages".as("qp"), $"robots_body",
+            $"subdomains", lit(0).as("prio"))
+        val merged = oldRows.unionByName(contribs.drop("dbucket"))
+          .groupBy($"domain").agg(
+            sum($"qp").as("queued_pages"),
+            // latest non-null robots body wins (nulls excluded from max)
+            max(when($"robots_body".isNotNull, struct($"prio", $"robots_body")))
+              .getField("robots_body").as("robots_body"),
+            slice(array_sort(array_distinct(flatten(collect_list($"subdomains")))),
+              1, 10).as("subdomains"))
           .withColumn("dbucket", host_partition($"domain", partitions))
           .select(domainMetaSchema.fieldNames.map(col): _*)
         domainMeta.replaceBuckets(merged, epochNo, alsoClear = touchedD)
       }
-      newCounts.unpersist()
+      contribs.unpersist()
     }
 
     // metadata sink (S7): one record per fetched document per epoch;
@@ -645,15 +802,7 @@ final class SparkFrontier(
         .select(metadataSchema.fieldNames.map(col): _*),
       epochNo)
 
-    // states merge: crawled pages + errored fetches (ERROR=3) + newly
-    // queued links (QUEUED)
-    val updates = errorStates.fold(pageStates)(pageStates.unionByName(_))
-      .union(scheduled.select($"fingerprint")
-        .withColumn("state", lit(graft.local.States.Queued)))
-      .withColumn("sbucket", sbucketCol($"fingerprint"))
-      .select(statesSchema.fieldNames.map(col): _*)
-      .cache()
-    val touched = updates.select($"sbucket").distinct().as[Int].collect().toSet
+    // states merge commit
     if (touched.nonEmpty) {
       // sidecar base-freshness must be judged against the PRE-commit
       // per-bucket versions: a sidecar as new as the bucket's last

@@ -84,6 +84,32 @@ class ErrorAndReplaySpec extends AnyFunSuite {
     assert(f.queueSize() == 3)
   }
 
+  test("A7 flow control: busy partitions yield no batch until results are processed") {
+    val root = Files.createTempDirectory("graft-fc").toString
+    val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = false, useBloom = false,
+      flowControl = true)
+    f.bulkSchedule(spark.range(200).select(
+      concat(lit("http://fc"), $"id" % 20, lit(".com/p/"), $"id").as("url"),
+      ($"id".cast("double") / 1000.0).as("score"), lit(0).as("depth")))
+
+    val b1 = f.nextBatch(5).cache()
+    val n1 = b1.count()
+    assert(n1 > 0)
+    // nothing processed yet: every partition's lag >= budget -> all busy
+    val b2 = f.nextBatch(5)
+    assert(b2.count() == 0, "busy partitions must produce no batch")
+
+    // processing the first batch releases the gauge
+    val pages = b1.select($"fingerprint", $"url", $"depth", $"score", $"created_at")
+    val noLinks = Seq.empty[(Double, Long, Int, Int, String)]
+      .toDF("parent_score", "parent_created", "parent_depth", "link_idx", "link_url")
+    f.processCrawled(pages, noLinks, f.lastProcessedEpoch + 1)
+    val b3 = f.nextBatch(5)
+    assert(b3.count() > 0, "processed partitions must be ready again")
+    b1.unpersist()
+  }
+
   test("orphan commit dir from a crashed writer does not brick the store") {
     val root = Files.createTempDirectory("graft-orphan").toString
     val store = new BucketStore(s"$root/t", "b", 4)

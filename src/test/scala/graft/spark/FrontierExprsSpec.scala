@@ -39,6 +39,29 @@ class FrontierExprsSpec extends AnyFunSuite {
     assert(gen.collect().length == 100)
   }
 
+  test("bloom probe runs as a native expression inside whole-stage codegen") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bloom-cg").toString
+    val bs = new BloomSeen(root)
+    bs.rebuild(Seq((0, "fp-1"), (0, "fp-2")).toDF("sbucket", "fingerprint"),
+      Set(0), version = 1)
+    val bc = bs.broadcastFor(spark, Set(0))
+    val df = spark.range(100)
+      .select(concat(lit("fp-"), $"id").as("fingerprint"))
+      .withColumn("sb", lit(0))
+      .withColumn("seen", bloom_seen_probe(bc, $"sb", seen_key($"fingerprint")))
+    val seen = df.filter($"seen").select($"fingerprint").as[String].collect().toSet
+    assert(Set("fp-1", "fp-2").subsetOf(seen))
+    assert(seen.size <= 4, s"fpp too high: $seen") // a couple of FPs ok
+    // the probe (and the whole link-filter shape) stays in codegen — the
+    // round-1 UDF version broke the hottest stage out of codegen
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.startsWith("*("), plan)
+    val probeLine = plan.linesIterator.find(_.toLowerCase.contains("bloomseenprobe"))
+    assert(probeLine.isDefined, plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("null propagates") {
     import spark.implicits._
     val df = Seq(Some("http://a.com/x"), None).toDF("url")
