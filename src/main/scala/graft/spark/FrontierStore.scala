@@ -319,6 +319,32 @@ final class BucketStore(val root: String, val bucketCol: String,
         m.props ++ props, pmax))
     }
 
+  /** Compact leaves whose file count exceeds `maxPathsPerLeaf`: appends
+    * accumulate one dir per commit in bands the dequeue never rewrites
+    * (cold score bands), so file counts there grow with epoch count.
+    * Compaction is manifest-driven (no data read to decide), rewrites
+    * only the offending leaves, and is safe to run any time between
+    * epochs — it is the Iceberg `rewrite_data_files` analog. Returns the
+    * number of leaves compacted. */
+  def compact(spark: SparkSession, maxPathsPerLeaf: Int = 8,
+      decorate: DataFrame => DataFrame = identity): Int = {
+    val m = readManifest()
+    // group leaf paths by (bucket, band); collect the overgrown groups
+    val overgrown = m.bucketPaths.toSeq.flatMap { case (_, ps) =>
+      ps.groupBy(bandOf).collect {
+        case (_, paths) if paths.size > maxPathsPerLeaf => paths
+      }
+    }
+    if (overgrown.isEmpty) return 0
+    val paths = overgrown.flatten
+    // `decorate` re-adds write-path partition columns the read drops
+    // (e.g. the queue's band column, derived from score)
+    val df = decorate(readPaths(spark, paths))
+    replacePaths(df, m.epoch, paths.toSet,
+      counters = Map("compacted_leaves" -> overgrown.size.toLong))
+    overgrown.size
+  }
+
   /** Atomically append to this store as part of epoch bookkeeping only
     * (counters/props update without data change). */
   def commitCounters(epoch: Long, counters: Map[String, Long],

@@ -834,6 +834,17 @@ final class SparkFrontier(
     updates.unpersist()
   }
 
+  /** Compact queue bands whose file count grew past the threshold
+    * (appends add one dir per commit; cold bands the dequeue never
+    * rewrites accumulate them — run between epochs, like Iceberg's
+    * rewrite_data_files). Returns leaves compacted. */
+  def compactQueue(maxFilesPerBand: Int = 8): Int =
+    queue.compact(spark, maxFilesPerBand, withBand)
+
+  /** Compact the append-only metadata table's buckets. */
+  def compactMetadata(maxFilesPerBucket: Int = 16): Int =
+    metadata.compact(spark, maxFilesPerBucket)
+
   /** URL-seen membership snapshot (conformance checks). */
   def stateSnapshot(): Map[String, Int] =
     states.read(spark).select($"fingerprint", $"state").as[(String, Int)]

@@ -81,6 +81,33 @@ class BandedDequeueSpec extends AnyFunSuite {
     assert(f.queueSize() == 0)
   }
 
+  test("compaction: overgrown cold bands collapse to one file each, content intact") {
+    val f = freshFrontier()
+    // 12 appends into the same bands -> 12 files per (bucket, band) leaf
+    (0 until 12).foreach { i =>
+      f.bulkSchedule(spark.range(i * 20, i * 20 + 20).select(
+        concat(lit("http://c"), $"id" % 5, lit(".com/p/"), $"id").as("url"),
+        lit(0.5).as("score"), lit(0).as("depth")))
+    }
+    val before = f.queue.readManifest()
+    val maxLeafFiles = before.bucketPaths.values
+      .flatMap(_.groupBy(f.queue.bandOf).values.map(_.size)).max
+    assert(maxLeafFiles == 12)
+
+    val compacted = f.compactQueue(maxFilesPerBand = 8)
+    assert(compacted > 0)
+    val after = f.queue.readManifest()
+    val maxAfter = after.bucketPaths.values
+      .flatMap(_.groupBy(f.queue.bandOf).values.map(_.size)).max
+    assert(maxAfter == 1, s"leaves should collapse to one dir, got $maxAfter")
+    assert(f.queueSize() == 240, "compaction must not lose or duplicate rows")
+    // second run is a no-op
+    assert(f.compactQueue(maxFilesPerBand = 8) == 0)
+    // and the queue still dequeues exactly (all c*.com hosts happen to
+    // hash to one bucket, so one partition's budget applies)
+    assert(f.nextBatch(3).count() == 3)
+  }
+
   test("A3 deepening: capped hot host does not starve the batch (min_hosts diversity)") {
     val f = freshFrontier(maxPerHost = 2)
     // band 0: 60 rows, ALL on one hot host (cap 2) — a shallow scan sees
