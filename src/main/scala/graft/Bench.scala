@@ -179,21 +179,25 @@ object Bench {
     // amortize the per-epoch fixed cost, while the band scan still reads
     // a strict subset of the queue's files on epoch 1
     val totalBatch = 262144
+    // degenerate-safe levels: lo -> mid is the N→4N pair; at small
+    // SPARK_GRAFT_CPUS the levels collapse (distinct below) rather than
+    // duplicating runs/JSON keys or exceeding the requested cores
     val lo = math.max(1, cpus / 8)
-    val mid = lo * 4
-    var scanFrac = 1.0
+    val mid = math.min(cpus, lo * 4)
+    val levels = Seq(cpus, lo, mid).distinct
+    var scanFrac = -1.0
     var fails = 0L
     val best = scala.collection.mutable.Map(
-      lo -> (0L, Double.MaxValue), mid -> (0L, Double.MaxValue),
-      cpus -> (0L, Double.MaxValue))
+      levels.map(_ -> (0L, Double.MaxValue)): _*)
     val ceilings = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to 3).foreach { _ =>
-      for (level <- Seq(cpus, lo, mid)) {
+      for (level <- levels) {
         val s = session(level)
         val (u, t, fh, sfr) = hotPath(s, hotN, hosts, totalBatch / level)
         s.stop()
         if (t < best(level)._2) best(level) = (u, t)
-        if (sfr > 0) scanFrac = math.min(scanFrac, sfr)
+        // report the first-epoch scan fraction of the GRADED level only
+        if (level == cpus && scanFrac < 0 && sfr > 0) scanFrac = sfr
         fails += fh
       }
       ceilings += cpuCeiling(lo, mid)
@@ -205,7 +209,10 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
+    val levelJson = levels.sorted.map(l =>
+      f""""urls_per_sec_$l%d":${ups(l)}%.1f,"seconds_$l%d":${best(l)._2}%.1f""")
+      .mkString(",")
     println(
-      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d], fetch+decode+PSNR-verify per URL)","value":${ups(cpus)}%.1f,"unit":"urls/sec","queries":$qs,"operator_suite_sec":$total%.3f,"sf":"$sfDir","frontier":{"crawl_pipeline_urls":$cu,"crawl_pipeline_urls_per_sec":${cu / ct}%.1f,"hot_path_urls":${best(cpus)._1},"urls_per_sec_$cpus":${ups(cpus)}%.1f,"urls_per_sec_$mid":${ups(mid)}%.1f,"urls_per_sec_$lo":${ups(lo)}%.1f,"seconds_$cpus":${best(cpus)._2}%.1f,"seconds_$mid":${best(mid)._2}%.1f,"seconds_$lo":${best(lo)._2}%.1f,"scaling_efficiency_${lo}_to_$mid":$efficiency%.3f,"hardware_cpu_scaling_ceiling_median3_${lo}_to_$mid":$ceiling%.3f,"efficiency_vs_hardware_ceiling":${efficiency / ceiling}%.3f,"dequeue_scan_fraction_first_epoch":$scanFrac%.4f,"payload_failures":${cFail + fails},"reference_pages_per_sec":20}}""")
+      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d], fetch+decode+PSNR-verify per URL)","value":${ups(cpus)}%.1f,"unit":"urls/sec","queries":$qs,"operator_suite_sec":$total%.3f,"sf":"$sfDir","frontier":{"crawl_pipeline_urls":$cu,"crawl_pipeline_urls_per_sec":${cu / ct}%.1f,"hot_path_urls":${best(cpus)._1},$levelJson,"scaling_efficiency_${lo}_to_$mid":$efficiency%.3f,"hardware_cpu_scaling_ceiling_median3_${lo}_to_$mid":$ceiling%.3f,"efficiency_vs_hardware_ceiling":${efficiency / ceiling}%.3f,"dequeue_scan_fraction_first_epoch":$scanFrac%.4f,"payload_failures":${cFail + fails},"reference_pages_per_sec":20}}""")
   }
 }

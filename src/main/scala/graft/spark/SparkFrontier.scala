@@ -238,17 +238,61 @@ final class SparkFrontier(
   }
 
   /** Seed injection from a DataFrame with a `url` column (streaming /
-    * bulk path): seed score from the strategy, depth 0, no states check
-    * (matches strategy.read_seeds). `props` commit atomically with the
-    * rows (the seed stream's exactly-once batch marker rides here). */
+    * bulk path). Unlike the conformance-mode `addSeeds`, this follows
+    * the SHIPPED strategies' read_seeds (strategy/depth.py:8-16,
+    * discovery:191-213): refresh states, schedule only NOT_CRAWLED
+    * seeds, and mark them QUEUED — which also makes the streaming path
+    * content-level exactly-once (a replayed or re-offered seed file
+    * dedupes against the states table, while genuinely new URLs always
+    * schedule). */
   def addSeedsDF(urls: DataFrame, props: Map[String, String] = Map.empty): Unit = {
     val df = identity(urls.select(col("url")), "url")
       .withColumn("score", strategy.seedScore)
       .withColumn("created_at", pmod(xxhash64(col("url")), lit(1L << 40)))
       .withColumn("depth", lit(0))
       .withColumn("crawl_at", lit(0L))
-      .select(queueSchema.fieldNames.map(col): _*)
-    queue.append(withBand(df), epoch, props = props)
+    val fresh = df
+      .join(states.read(spark).select($"fingerprint"), Seq("fingerprint"), "left_anti")
+      .select((queueSchema.fieldNames.map(col) :+ sbucketCol($"fingerprint").as("sbucket")): _*)
+      .cache()
+    queue.append(withBand(fresh.select(queueSchema.fieldNames.map(col): _*)),
+      epoch, props = props)
+    val updates = fresh
+      .select($"fingerprint", lit(graft.local.States.Queued).as("state"), $"sbucket")
+      .select(statesSchema.fieldNames.map(col): _*)
+    val touched = updates.select($"sbucket").distinct().as[Int].collect().toSet
+    mergeStateUpdates(updates, touched, epoch, Map.empty)
+    fresh.unpersist()
+  }
+
+  /** Merge state rows (fingerprint, state, sbucket) into the states
+    * store + refresh the touched buckets' Bloom sidecars incrementally
+    * (shared by the epoch pipeline and the seed path). */
+  private def mergeStateUpdates(updates: DataFrame, touched: Set[Int],
+      epochNo: Long, counters: Map[String, Long]): Unit = {
+    if (touched.isEmpty) return
+    // sidecar base-freshness must be judged against the PRE-commit
+    // per-bucket versions: a sidecar as new as the bucket's last commit
+    // already holds every previously-committed key, so merging just
+    // this batch's keys keeps it complete
+    val preVersions = states.readManifest().bucketVersions
+    val old = states.readBuckets(spark, Some(touched))
+      .join(updates.select($"fingerprint".as("__f")), $"fingerprint" === $"__f", "left_anti")
+    states.replaceBuckets(old.union(updates), epochNo,
+      alsoClear = touched, counters = counters)
+    if (useBloom) {
+      val newV = states.currentVersion
+      // incremental merge of the update keys into fresh sidecars —
+      // cost O(update); only buckets with an absent/stale sidecar pay
+      // a full rebuild
+      val freshB = touched.filter(b => preVersions.get(b).forall(pv =>
+        bloomSeen.version(b).exists(_ >= pv)))
+      val staleB = touched -- freshB
+      bloomSeen.mergeUpdates(
+        updates.filter($"sbucket".isInCollection(freshB)), freshB, newV)
+      if (staleB.nonEmpty)
+        bloomSeen.rebuild(states.readBuckets(spark, Some(staleB)), staleB, newV)
+    }
   }
 
   /** Bulk-schedule a frontier (bench/prefill path): df must carry
@@ -452,8 +496,11 @@ final class SparkFrontier(
       .select(queueSchema.fieldNames.map(col): _*).cache()
 
     // touched (bucket, band) groups: only bands that lost rows are
-    // rewritten; all other files stay referenced by the new manifest
-    val touchedGroups = tagged.filter($"__sel")
+    // rewritten; all other files stay referenced by the new manifest.
+    // Derived from `batch` so this action MATERIALIZES the batch cache
+    // while `tagged` is still cached underneath — otherwise the caller's
+    // first action would re-run the whole band scan + ranking
+    val touchedGroups = batch
       .select($"partition_id", bandExpr.as("band"))
       .groupBy($"partition_id", $"band").count()
       .as[(Int, Int, Long)].collect()
@@ -527,11 +574,14 @@ final class SparkFrontier(
 
     // middleware chain in declared order (2.11) over the identified links
     val l1 = linkTransforms.foldLeft(identity(links, "link_url"))((df, t) => t(df))
-    // probe URLs (robots.txt / sitemap fetches) are scheduled by the
-    // strategy itself, outside the robots deny (reference schedules them
-    // via _schedule_once, not filter_extracted_links)
-    def isProbe(u: Column): Column =
+    def isProbeUrl(u: Column): Column =
       u.endsWith("/robots.txt") || u.rlike("sitemap[^/]*\\.xml$")
+    // strategy-issued probe links: the PARENT page is itself a probe
+    // (robots.txt directives, sitemap <loc>s). The reference schedules
+    // these itself, outside filter_extracted_links, so only they bypass
+    // the robots deny — an ordinary page linking to a sitemap-named URL
+    // gets no special treatment (no deny bypass, no 0.9 priority)
+    def parentIsProbe: Column = isProbeUrl($"parent_url")
     // F2/F3: filter_extracted_links — robots deny before the states
     // lookup (saves the KV fetch, exactly the reference's motivation).
     // The robots source is either the caller-supplied static table or,
@@ -541,7 +591,7 @@ final class SparkFrontier(
       case (Some(dm), _) =>
         l1.join(broadcast(dm.select($"host", $"robots_body")), Seq("host"), "left_outer")
           .filter(FrontierExprs.robots_can_fetch($"link_url",
-            coalesce($"robots_body", lit(""))) || isProbe($"link_url"))
+            coalesce($"robots_body", lit(""))))
           .drop("robots_body")
       case (None, Some(_)) =>
         val dmRobots = domainMeta.read(spark)
@@ -549,7 +599,7 @@ final class SparkFrontier(
           .select($"domain".as("__rdom"), $"robots_body")
         l1.join(dmRobots, FrontierExprs.sld($"host") === $"__rdom", "left_outer")
           .filter(FrontierExprs.robots_can_fetch($"link_url",
-            coalesce($"robots_body", lit(""))) || isProbe($"link_url"))
+            coalesce($"robots_body", lit(""))) || parentIsProbe)
           .drop("__rdom", "robots_body")
       case _ => l1
     }
@@ -655,9 +705,10 @@ final class SparkFrontier(
     // 374-401, 47-50); otherwise the strategy's score expression
     val scoreCol = discovery match {
       case Some(d) =>
-        // probes (robots/sitemap fetches) 0.9 > home 0.8 > interest 0.7 >
-        // other 0.5 — dequeued highest-first under ScoreCreatedDesc
-        val classScore = when(isProbe($"link_url"), lit(0.9))
+        // probes (robots/sitemap fetches issued by the strategy) 0.9 >
+        // home 0.8 > interest 0.7 > other 0.5 — dequeued highest-first
+        // under ScoreCreatedDesc
+        val classScore = when(parentIsProbe && isProbeUrl($"link_url"), lit(0.9))
           .otherwise(when(FrontierExprs.is_home_page($"link_url"), lit(0.8))
             .otherwise(d.interestPattern
               .map(p => when($"link_url".rlike(p), lit(0.7)).otherwise(lit(0.5)))
@@ -681,8 +732,15 @@ final class SparkFrontier(
       case Some(d) if d.maxPagesPerDomain > 0 =>
         val dm = domainMeta.read(spark)
           .select($"domain".as("__domain"), $"queued_pages".as("__qp0"))
-        val w = Window.partitionBy($"__domain")
-          .orderBy($"score".asc, $"created_at".asc, $"url".asc)
+        // budget keeps the BEST-ranked links under the active dequeue
+        // ordering (under ScoreCreatedDesc, discovery's home/probe links
+        // must win the budget, not lose it)
+        val budgetOrder = ordering match {
+          case graft.local.QueueOrdering.ScoreCreatedDesc =>
+            Seq($"score".desc, $"created_at".asc, $"url".asc)
+          case _ => Seq($"score".asc, $"created_at".asc, $"url".asc)
+        }
+        val w = Window.partitionBy($"__domain").orderBy(budgetOrder: _*)
         scheduled0.withColumn("__domain", FrontierExprs.sld($"host"))
           .join(dm, Seq("__domain"), "left_outer")
           .withColumn("__rn", row_number().over(w))
@@ -719,28 +777,20 @@ final class SparkFrontier(
         scheduled.union(revisits)
       case None => scheduled
     }
-    // A7: processing results releases the partitions' in-flight gauge
-    val fcProps: Map[String, String] =
-      if (!flowControl) Map.empty
-      else {
-        val pp = pages.select(host_partition(url_host($"url"), partitions).as("p"))
-        val all = errors.fold(pp)(e => pp.unionByName(
-          e.select(host_partition(url_host($"url"), partitions).as("p"))))
-        val cur = queue.readManifest().props
-        all.groupBy($"p").count().as[(Int, Long)].collect().map { case (b, n) =>
-          s"fc.p$b" -> math.max(0L,
-            cur.getOrElse(s"fc.p$b", "0").toLong - n).toString
-        }.toMap
-      }
-    // the queue commit is the epoch's publish point — the jid marker
-    // rides in the same atomic manifest flip
-    queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled),
-      props = Map(jidKey -> epochNo.toString) ++ fcProps)
+    // Per-table replay guards: each store skips commits for epochs it
+    // has already applied (its manifest epoch is monotone), so a replay
+    // after a crash BETWEEN the epoch's commits heals the stores that
+    // missed out without duplicating the ones that didn't. The jid
+    // marker is committed LAST (below) — only a fully-applied epoch
+    // gets the fast-path drop at the top of this method.
+    if (queue.readManifest().epoch < epochNo)
+      queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled))
 
     // domain_metadata merge (A4/J2/§2.7): per-domain queued_pages bump,
     // robots bodies fetched this epoch, and the capped subdomain set —
     // one MERGE INTO per epoch, bucket-pruned
-    if (discovery.isDefined || domainData.isDefined) {
+    if ((discovery.isDefined || domainData.isDefined) &&
+        domainMeta.readManifest().epoch < epochNo) {
       val nullStr = lit(null).cast(StringType)
       val nullArr = lit(null).cast(ArrayType(StringType))
       val counts = scheduled
@@ -796,40 +846,39 @@ final class SparkFrontier(
             .withColumn("fetched_epoch", lit(epochNo)))
       case None => okMeta
     }
-    metadata.append(
-      allMeta
-        .withColumn("partition_id", host_partition(url_host($"url"), partitions))
-        .select(metadataSchema.fieldNames.map(col): _*),
-      epochNo)
+    if (metadata.readManifest().epoch < epochNo)
+      metadata.append(
+        allMeta
+          .withColumn("partition_id", host_partition(url_host($"url"), partitions))
+          .select(metadataSchema.fieldNames.map(col): _*),
+        epochNo)
 
-    // states merge commit
-    if (touched.nonEmpty) {
-      // sidecar base-freshness must be judged against the PRE-commit
-      // per-bucket versions: a sidecar as new as the bucket's last
-      // commit already holds every previously-committed key, so merging
-      // just this epoch's keys keeps it complete
-      val preVersions = states.readManifest().bucketVersions
-      val old = states.readBuckets(spark, Some(touched))
-        .join(updates.select($"fingerprint".as("__f")), $"fingerprint" === $"__f", "left_anti")
+    // states merge commit (replay-guarded like the other stores)
+    if (touched.nonEmpty && states.readManifest().epoch < epochNo) {
       val nCrawled = if (nPages >= 0) nPages else pages.count()
-      states.replaceBuckets(old.union(updates), epochNo,
-        alsoClear = touched,
-        counters = Map("crawled" -> nCrawled, "queued" -> nScheduled))
-      if (useBloom) {
-        val newV = states.currentVersion
-        // incremental merge of the update keys into fresh sidecars —
-        // cost O(update); only buckets with an absent/stale sidecar pay
-        // a full rebuild (e.g. useBloom enabled on an existing store, or
-        // a crash between a past states commit and its sidecar write)
-        val freshB = touched.filter(b => preVersions.get(b).forall(pv =>
-          bloomSeen.version(b).exists(_ >= pv)))
-        val staleB = touched -- freshB
-        bloomSeen.mergeUpdates(
-          updates.filter($"sbucket".isInCollection(freshB)), freshB, newV)
-        if (staleB.nonEmpty)
-          bloomSeen.rebuild(states.readBuckets(spark, Some(staleB)), staleB, newV)
-      }
+      mergeStateUpdates(updates, touched, epochNo,
+        Map("crawled" -> nCrawled, "queued" -> nScheduled))
     }
+
+    // epoch COMPLETE: commit the jid marker (fast-path replay drop) and
+    // release the A7 in-flight gauge in one final queue-manifest flip —
+    // a crash before this point leaves the marker unset, so a replay
+    // re-enters and the per-table guards above apply only what's missing
+    val fcProps: Map[String, String] =
+      if (!flowControl) Map.empty
+      else {
+        val pp = pages.select(host_partition(url_host($"url"), partitions).as("p"))
+        val all = errors.fold(pp)(e => pp.unionByName(
+          e.select(host_partition(url_host($"url"), partitions).as("p"))))
+        val cur = queue.readManifest().props
+        all.groupBy($"p").count().as[(Int, Long)].collect().map { case (b, n) =>
+          s"fc.p$b" -> math.max(0L,
+            cur.getOrElse(s"fc.p$b", "0").toLong - n).toString
+        }.toMap
+      }
+    queue.commitCounters(epochNo, Map("scheduled" -> nScheduled),
+      props = Map(jidKey -> epochNo.toString) ++ fcProps)
+
     scheduled.unpersist()
     updates.unpersist()
   }

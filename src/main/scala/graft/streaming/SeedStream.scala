@@ -15,17 +15,14 @@ import graft.spark.SparkFrontier
   *
   * Exactly-once: foreachBatch alone is at-least-once (a crash between
   * the frontier commit and the streaming-checkpoint commit replays the
-  * micro-batch), so the sink is made idempotent with the batchId — the
-  * last applied batchId commits ATOMICALLY with the seed rows as a queue
-  * manifest prop, and replayed batches (id <= marker) are skipped. Seeds
-  * bypass the URL-seen check, so without this marker a replay would
-  * schedule duplicates. */
+  * micro-batch). The sink is idempotent by CONTENT: `addSeedsDF` follows
+  * the shipped read_seeds semantics — it refreshes states, schedules
+  * only NOT_CRAWLED urls, and marks them QUEUED — so a replayed (or,
+  * after a checkpoint reset, re-offered) seed file dedupes against the
+  * states table while genuinely new URLs always schedule. A batchId
+  * high-water mark would NOT survive a checkpoint reset (batch ids
+  * restart at 0 and new files would be dropped). */
 final class SeedStream(frontier: SparkFrontier, seedsDir: String) {
-
-  private val markerKey = "seedstream.lastBatch"
-
-  private[streaming] def lastApplied: Long =
-    frontier.queue.readManifest().props.get(markerKey).map(_.toLong).getOrElse(-1L)
 
   /** Process everything currently in the directory, then stop
     * (Trigger.AvailableNow). Call again after new files land, or use
@@ -47,13 +44,12 @@ final class SeedStream(frontier: SparkFrontier, seedsDir: String) {
       .option("checkpointLocation", s"${frontier.root}/seedstream-ckpt")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (batchId > lastApplied) {
-          val urls = batch
-            .select(trim(col("value")).as("url"))
-            .filter(length(col("url")) > 0 && !col("url").startsWith("#"))
-            .distinct()
-          frontier.addSeedsDF(urls, props = Map(markerKey -> batchId.toString))
-        }
+        val urls = batch
+          .select(trim(col("value")).as("url"))
+          .filter(length(col("url")) > 0 && !col("url").startsWith("#"))
+          .distinct()
+        frontier.addSeedsDF(urls,
+          props = Map("seedstream.lastBatch" -> batchId.toString))
       }
       .start()
 }

@@ -84,6 +84,44 @@ class ErrorAndReplaySpec extends AnyFunSuite {
     assert(f.queueSize() == 3)
   }
 
+  test("partial-crash replay heals: stores that missed the epoch apply, others skip") {
+    // simulate a crash AFTER the epoch-3 queue append but BEFORE the
+    // states merge and the jid marker: pre-stamp the queue manifest with
+    // epoch 3, then replay the full epoch — the queue commit must skip
+    // (no duplicate rows), the states/metadata commits must apply
+    val root = Files.createTempDirectory("graft-heal").toString
+    val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = true)
+    val pages = Seq(("fp-9", "http://h.com/9", 0, 0.0, 1L))
+      .toDF("fingerprint", "url", "depth", "score", "created_at")
+    val links = Seq((0.0, 1L, 0, 0, "http://h.com/10"))
+      .toDF("parent_score", "parent_created", "parent_depth", "link_idx", "link_url")
+    f.processCrawled(pages, links, epochNo = 1) // normal epoch
+    val q1 = f.queueSize()
+
+    // "crashed" epoch 3: only the queue commit happened (manifest epoch
+    // advanced, jid marker NOT yet written)
+    f.queue.commitCounters(3, Map.empty)
+    assert(f.lastProcessedEpoch == 1L, "marker must lag the partial epoch")
+
+    // bus replays epoch 3 in full
+    val pages3 = Seq(("fp-11", "http://h.com/11", 1, 0.1, 5L))
+      .toDF("fingerprint", "url", "depth", "score", "created_at")
+    val noLinks = links.limit(0)
+    val mBefore = f.metadata.read(spark).count()
+    f.processCrawled(pages3, noLinks, epochNo = 3)
+    assert(f.queueSize() == q1, "queue already at epoch 3: append must skip")
+    assert(f.stateSnapshot().get("fp-11").contains(graft.local.States.Crawled),
+      "states missed epoch 3 and must heal on replay")
+    assert(f.metadata.read(spark).count() == mBefore + 1,
+      "metadata missed epoch 3 and must heal on replay")
+    assert(f.lastProcessedEpoch == 3L)
+
+    // second replay of the now-complete epoch is a full no-op
+    f.processCrawled(pages3, noLinks, epochNo = 3)
+    assert(f.metadata.read(spark).count() == mBefore + 1)
+  }
+
   test("A7 flow control: busy partitions yield no batch until results are processed") {
     val root = Files.createTempDirectory("graft-fc").toString
     val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,

@@ -39,28 +39,32 @@ class SeedStreamSpec extends AnyFunSuite {
     assert(seq.toSet == Graphs.site02.nodes)
   }
 
-  test("replayed micro-batch is idempotent (batch marker commits with the rows)") {
+  test("replayed micro-batch is idempotent; new files after a checkpoint reset still ingest") {
     // foreachBatch is at-least-once: simulate a replay by WIPING the
     // stream checkpoint after a successful ingest — the source re-offers
-    // the same files under the same restarting batchIds; the queue
-    // manifest's last-applied marker must reject them
+    // the old files (with RESTARTED batch ids); the states-based seed
+    // dedup must reject them WITHOUT dropping genuinely new files
     val root = Files.createTempDirectory("graft-seedreplay").toString
     val seedsDir = Files.createTempDirectory("graft-seeds2").toString
     val frontier = new SparkFrontier(spark, root, partitions = 4,
       stateBuckets = 4, strategy = ScoreStrategy.BFS, globalOrder = true)
     Files.writeString(Paths.get(seedsDir, "s.txt"), "http://aaa.com/1\n")
-    val s1 = new SeedStream(frontier, seedsDir)
-    s1.ingestAvailable()
+    new SeedStream(frontier, seedsDir).ingestAvailable()
     assert(frontier.queueSize() == 1)
-    assert(s1.lastApplied == 0L)
+    // seeds are QUEUED in states (shipped read_seeds semantics)
+    val fp = graft.core.Hashing.urlFingerprint("http://aaa.com/1")
+    assert(frontier.stateSnapshot().get(fp).contains(graft.local.States.Queued))
 
-    // wipe the checkpoint: the replayed batch 0 must be skipped
+    // wipe the checkpoint AND land a new file: the replayed old seeds
+    // must dedupe, the new seeds must still schedule (a batchId
+    // high-water mark would drop them — batch ids restart at 0)
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
     }
     deleteRec(new java.io.File(s"$root/seedstream-ckpt"))
+    Files.writeString(Paths.get(seedsDir, "t.txt"), "http://bbb.com/1\n")
     new SeedStream(frontier, seedsDir).ingestAvailable()
-    assert(frontier.queueSize() == 1,
-      "replayed micro-batch must not append duplicate seed rows")
+    assert(frontier.queueSize() == 2,
+      "old seeds must dedupe, new seeds must ingest after a checkpoint reset")
   }
 }
