@@ -35,7 +35,11 @@ final class BloomSeen(root: String, fpp: Double = 0.01,
 
   private def dir = Paths.get(root, "bloom")
   private def path(bucket: Int, version: Long) = dir.resolve(s"b${bucket}_v$version.bin")
-  private def currentPath(bucket: Int) = dir.resolve(s"b${bucket}_CURRENT")
+  // key-format fence: v2 sidecars hold murmur128 LONG keys; pointers of
+  // older builds (string keys) are ignored, so an upgraded store treats
+  // them as absent → exact anti-join until the sidecars are rebuilt
+  // (never a false negative from a format change)
+  private def currentPath(bucket: Int) = dir.resolve(s"b${bucket}_CURRENT2")
 
   /** States-store version this bucket's sidecar reflects (None = never built). */
   def version(bucket: Int): Option[Long] = {

@@ -78,12 +78,14 @@ final class BucketStore(val root: String, val bucketCol: String,
         .getOrElse(Map.empty))
   }
 
-  /** Band index of a leaf path (banded stores only). */
+  /** Band index of a leaf path (banded stores only); -1 marks a LEGACY
+    * path written before the store was banded (no band= level) — the
+    * caller must migrate it before band-pruned scans can trust it. */
   def bandOf(path: String): Int = bandCol match {
     case Some(bc) =>
       path.split('/').find(_.startsWith(s"$bc="))
         .map(_.stripPrefix(s"$bc=").toInt)
-        .getOrElse(sys.error(s"no $bc= level in path: $path"))
+        .getOrElse(-1)
     case None => 0
   }
 

@@ -331,7 +331,18 @@ final class SparkFrontier(
       minHosts: Int = 0): DataFrame = {
     // crawl_at visibility (delayed revisit): invisible rows stay queued
     val nowEpoch = if (atEpoch >= 0) atEpoch else epoch
-    val m = queue.readManifest()
+    var m = queue.readManifest()
+    // legacy (pre-banded) queue paths have no band= level and can't be
+    // band-pruned or band-rewritten — migrate them into the banded
+    // layout once (a store written by an older build resumes losslessly)
+    val legacyPaths = m.bucketPaths.valuesIterator.flatten
+      .filter(p => queue.bandOf(p) < 0).toSet
+    if (legacyPaths.nonEmpty) {
+      queue.replacePaths(withBand(queue.readPaths(spark, legacyPaths.toSeq)),
+        m.epoch, legacyPaths,
+        counters = Map("migrated_legacy_paths" -> legacyPaths.size.toLong))
+      m = queue.readManifest()
+    }
     // A7: busy partitions (in-flight lag >= budget) produce no batch
     // until their results are processed — the reference's ready/busy
     // feed-partition gate

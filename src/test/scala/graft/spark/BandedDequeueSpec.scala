@@ -108,6 +108,44 @@ class BandedDequeueSpec extends AnyFunSuite {
     assert(f.nextBatch(3).count() == 3)
   }
 
+  test("legacy band-less queue layout migrates on first dequeue, loses nothing") {
+    val root = Files.createTempDirectory("graft-legacy").toString
+    // simulate a store written by a pre-banded build: same root, same
+    // manifest format, but no band= level in the data paths
+    val f0 = freshFrontier() // only for the schema/exprs
+    val legacyStore = new BucketStore(s"$root/queue", "partition_id", 4)
+    legacyStore.emptySchema = Some(f0.queueSchema)
+    val rows = spark.range(50).select(
+        concat(lit("http://lg"), $"id" % 6, lit(".com/p/"), $"id").as("url"))
+      .withColumn("fingerprint", FrontierExprs.url_fingerprint($"url"))
+      .withColumn("host", FrontierExprs.url_host($"url"))
+      .withColumn("partition_id", FrontierExprs.host_partition($"host", 4))
+      .withColumn("score", ($"url".substr(10, 1).cast("int") % 10).cast("double") / 10.0)
+      .withColumn("created_at", $"url".substr(14, 6).cast("long"))
+      .withColumn("depth", lit(0))
+      .withColumn("crawl_at", lit(0L))
+      .select(f0.queueSchema.fieldNames.map(col): _*)
+    legacyStore.append(rows.na.fill(0L, Seq("created_at")), epoch = 2)
+    assert(legacyStore.readManifest().bucketPaths.valuesIterator.flatten
+      .exists(p => legacyStore.bandOf(p) < 0), "fixture must be band-less")
+
+    // a new (banded) frontier over the same root resumes and migrates
+    val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = false, useBloom = false)
+    assert(f.epoch == 2, "manifest epoch must survive the upgrade")
+    var drained = 0L
+    var continue = true
+    while (continue) {
+      val n = f.nextBatch(20).count()
+      drained += n
+      continue = n > 0
+    }
+    assert(drained == 50, s"migration must not lose or duplicate rows: $drained")
+    val m = f.queue.readManifest()
+    assert(m.bucketPaths.valuesIterator.flatten.forall(p => f.queue.bandOf(p) >= 0),
+      "all paths banded after migration")
+  }
+
   test("A3 deepening: capped hot host does not starve the batch (min_hosts diversity)") {
     val f = freshFrontier(maxPerHost = 2)
     // band 0: 60 rows, ALL on one hot host (cap 2) — a shallow scan sees
