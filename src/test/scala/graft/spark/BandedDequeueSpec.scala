@@ -121,13 +121,15 @@ class BandedDequeueSpec extends AnyFunSuite {
       .withColumn("host", FrontierExprs.url_host($"url"))
       .withColumn("partition_id", FrontierExprs.host_partition($"host", 4))
       .withColumn("score", ($"url".substr(10, 1).cast("int") % 10).cast("double") / 10.0)
-      .withColumn("created_at", $"url".substr(14, 6).cast("long"))
+      .withColumn("created_at", regexp_extract($"url", "/p/(\\d+)$", 1).cast("long"))
       .withColumn("depth", lit(0))
       .withColumn("crawl_at", lit(0L))
       .select(f0.queueSchema.fieldNames.map(col): _*)
     legacyStore.append(rows.na.fill(0L, Seq("created_at")), epoch = 2)
+    // bandlessness is judged by the BANDED store's bandOf (legacyStore has
+    // no bandCol, so its own bandOf would vacuously return 0)
     assert(legacyStore.readManifest().bucketPaths.valuesIterator.flatten
-      .exists(p => legacyStore.bandOf(p) < 0), "fixture must be band-less")
+      .exists(p => f0.queue.bandOf(p) < 0), "fixture must be band-less")
 
     // a new (banded) frontier over the same root resumes and migrates
     val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
