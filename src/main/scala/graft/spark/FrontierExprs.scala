@@ -145,7 +145,16 @@ object FrontierExprs {
   /** justify_request_score_by_hostname (discovery/__init__.py:47-50):
     * `floor(abs(crc32s(host)/2147483647)*10)/10 + max(0.01, score-0.01)/10`
     * — embeds the host hash as the score's integer decile so one domain's
-    * pages cluster in the queue's score bands. */
+    * pages cluster in the queue's score bands.
+    *
+    * DELIBERATE signedness choice: we use SIGNED crc32 + abs, giving
+    * deciles in [0, 1.0] and total scores ≤ ~1.1 (the py2-zlib reading of
+    * the formula, and the better-behaved one — every score fits the
+    * queue's [0,1] band axis). Python 3's zlib.crc32 is unsigned, so a
+    * py3 reference deployment spreads abs(crc/2^31−1) over [0, 2) and
+    * ~half of all hostnames land in deciles 1.0–1.9; we intentionally do
+    * NOT reproduce that (scores > 1 would all clamp into the last band,
+    * destroying the per-domain clustering the formula exists for). */
   def justify_score(host: Column, score: Column): Column = {
     import org.apache.spark.sql.functions.{floor, abs, greatest}
     floor(abs(signed_crc32(host).cast("double") / 2147483647.0) * 10) / 10.0 +

@@ -236,15 +236,30 @@ final class BucketStore(val root: String, val bucketCol: String,
   }
 
   /** Serialize commits: JVM monitor (same-process writers, e.g. a seed
-    * stream next to the epoch loop) + OS file lock (cross-process). */
+    * stream next to the epoch loop) + OS file lock (cross-process).
+    * Reentrant per thread (the monitor is; the OS lock is made so via a
+    * held-roots ThreadLocal) so a read-modify-write section can wrap the
+    * commit it ends with. */
   private def withCommitLock[T](body: => T): T =
-    BucketStore.monitorFor(root).synchronized {
+    if (BucketStore.heldRoots.get.contains(root)) body
+    else BucketStore.monitorFor(root).synchronized {
       Files.createDirectories(Paths.get(root))
       val ch = FileChannel.open(Paths.get(root, "_commit.lock"),
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       val lock = ch.lock()
-      try body finally { lock.release(); ch.close() }
+      BucketStore.heldRoots.get += root
+      try body finally {
+        BucketStore.heldRoots.get -= root
+        lock.release(); ch.close()
+      }
     }
+
+  /** Hold the store's commit lock across a whole read-merge-write
+    * section: a manifest snapshot taken inside is guaranteed not to be
+    * invalidated by a concurrent writer before the section's own commit
+    * lands (e.g. a merge-on-read fold, or a bloom-sidecar update that
+    * must stay consistent with its states commit). */
+  def withTableLock[T](body: => T): T = withCommitLock(body)
 
   /** Append rows (must contain bucketCol and, when banded, bandCol).
     * Untouched buckets unchanged. */
@@ -325,11 +340,13 @@ final class BucketStore(val root: String, val bucketCol: String,
     * accumulate one dir per commit in bands the dequeue never rewrites
     * (cold score bands), so file counts there grow with epoch count.
     * Compaction is manifest-driven (no data read to decide), rewrites
-    * only the offending leaves, and is safe to run any time between
-    * epochs — it is the Iceberg `rewrite_data_files` analog. Returns the
-    * number of leaves compacted. */
+    * only the offending leaves, and holds the commit lock across the
+    * whole read+rewrite — a concurrent dequeue/append can never commit
+    * between compaction's snapshot and its rewrite (which would
+    * resurrect removed rows) — it is the Iceberg `rewrite_data_files`
+    * analog. Returns the number of leaves compacted. */
   def compact(spark: SparkSession, maxPathsPerLeaf: Int = 8,
-      decorate: DataFrame => DataFrame = identity): Int = {
+      decorate: DataFrame => DataFrame = identity): Int = withCommitLock {
     val m = readManifest()
     // group leaf paths by (bucket, band); collect the overgrown groups
     val overgrown = m.bucketPaths.toSeq.flatMap { case (_, ps) =>
@@ -423,4 +440,10 @@ object BucketStore {
   private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def monitorFor(root: String): Object =
     monitors.computeIfAbsent(root, _ => new Object)
+  /** roots whose commit lock the current thread already holds (reentrancy
+    * for the OS file lock, which would otherwise throw
+    * OverlappingFileLockException on same-JVM re-acquisition) */
+  private val heldRoots = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
 }

@@ -180,7 +180,11 @@ final class SparkFrontier(
   metadata.emptySchema = Some(metadataSchema)
   domainMeta.emptySchema = Some(domainMetaSchema)
 
-  def epoch: Long = math.max(queue.readManifest().epoch, 0L)
+  /** Epoch clock: the queue manifest's epoch, or the last fully-processed
+    * epoch when newer (an epoch that scheduled nothing skips its empty
+    * queue commit, so the marker can run ahead of the queue manifest). */
+  def epoch: Long =
+    math.max(math.max(queue.readManifest().epoch, lastProcessedEpoch), 0L)
 
   private def sbucketCol(fp: Column): Column =
     pmod(xxhash64(fp), lit(stateBuckets)).cast(IntegerType)
@@ -261,37 +265,110 @@ final class SparkFrontier(
       .select($"fingerprint", lit(graft.local.States.Queued).as("state"), $"sbucket")
       .select(statesSchema.fieldNames.map(col): _*)
     val touched = updates.select($"sbucket").distinct().as[Int].collect().toSet
-    mergeStateUpdates(updates, touched, epoch, Map.empty)
+    // keep the states manifest's CURRENT epoch: seeds must not advance
+    // the replay guard of an in-flight crawl epoch (a crash between that
+    // epoch's queue append and its states merge must still heal)
+    mergeStateUpdates(updates, touched, states.readManifest().epoch, Map.empty)
     fresh.unpersist()
   }
 
+  /** A bucket's Bloom sidecar is FRESH iff the bucket holds no committed
+    * data at all (nothing to miss — an absent bloom correctly reports
+    * every key definitely-unseen), or its sidecar stamp is at least as
+    * new as the bucket's last states commit. A bucket with data but no
+    * `bucketv` entry (a manifest written by a pre-versioning build) is
+    * STALE — never vacuously fresh — so legacy stores route through the
+    * exact anti-join and get their sidecars rebuilt on first merge
+    * instead of silently dropping seen URLs. */
+  private def bloomFresh(m: BucketStore#Manifest, b: Int): Boolean =
+    m.bucketPaths.getOrElse(b, Nil).isEmpty ||
+      m.bucketVersions.get(b).exists(v => bloomSeen.version(b).exists(_ >= v))
+
   /** Merge state rows (fingerprint, state, sbucket) into the states
     * store + refresh the touched buckets' Bloom sidecars incrementally
-    * (shared by the epoch pipeline and the seed path). */
+    * (shared by the epoch pipeline and the seed path).
+    *
+    * LSM write path (the scale-critical property — reference anchor: the
+    * HBase states store is a KV point-write log, hbase/__init__.py:
+    * 302-378, never a table rewrite): each epoch APPENDS one delta file
+    * per touched bucket — O(update) bytes and files — and reads resolve
+    * "last state wins" by commit version (`readStatesLatest`); the
+    * URL-seen anti-joins need membership only, so they read the raw
+    * delta log without resolution. `compactStates` folds deltas into
+    * one base file per bucket between epochs.
+    *
+    * The whole section (manifest snapshot → append → sidecar update)
+    * holds the states commit lock: a concurrent merger (seed stream next
+    * to the epoch loop) can neither interleave its commit between our
+    * snapshot and append, nor race the sidecar load-merge-persist. */
   private def mergeStateUpdates(updates: DataFrame, touched: Set[Int],
-      epochNo: Long, counters: Map[String, Long]): Unit = {
+      epochNo: Long, counters: Map[String, Long],
+      props: Map[String, String] = Map.empty): Unit = {
     if (touched.isEmpty) return
-    // sidecar base-freshness must be judged against the PRE-commit
-    // per-bucket versions: a sidecar as new as the bucket's last commit
-    // already holds every previously-committed key, so merging just
-    // this batch's keys keeps it complete
-    val preVersions = states.readManifest().bucketVersions
-    val old = states.readBuckets(spark, Some(touched))
-      .join(updates.select($"fingerprint".as("__f")), $"fingerprint" === $"__f", "left_anti")
-    states.replaceBuckets(old.union(updates), epochNo,
-      alsoClear = touched, counters = counters)
-    if (useBloom) {
-      val newV = states.currentVersion
-      // incremental merge of the update keys into fresh sidecars —
-      // cost O(update); only buckets with an absent/stale sidecar pay
-      // a full rebuild
-      val freshB = touched.filter(b => preVersions.get(b).forall(pv =>
-        bloomSeen.version(b).exists(_ >= pv)))
-      val staleB = touched -- freshB
-      bloomSeen.mergeUpdates(
-        updates.filter($"sbucket".isInCollection(freshB)), freshB, newV)
-      if (staleB.nonEmpty)
-        bloomSeen.rebuild(states.readBuckets(spark, Some(staleB)), staleB, newV)
+    states.withTableLock {
+      // sidecar base-freshness is judged against the PRE-append manifest:
+      // a sidecar as new as the bucket's last commit already holds every
+      // previously-committed key, so merging just this batch's keys keeps
+      // it complete
+      val pre = states.readManifest()
+      states.append(updates, epochNo, counters, props)
+      if (useBloom) {
+        val newV = states.currentVersion
+        // incremental merge of the update keys into fresh sidecars —
+        // cost O(update); only buckets with an absent/stale sidecar pay
+        // a full rebuild
+        val freshB = touched.filter(b => bloomFresh(pre, b))
+        val staleB = touched -- freshB
+        bloomSeen.mergeUpdates(
+          updates.filter($"sbucket".isInCollection(freshB)), freshB, newV)
+        if (staleB.nonEmpty)
+          bloomSeen.rebuild(states.readBuckets(spark, Some(staleB)), staleB, newV)
+      }
+    }
+  }
+
+  /** Merge-on-read states view: last state wins per fingerprint, ordered
+    * by the commit version embedded in the delta-file path (strictly
+    * monotonic — the Iceberg sequence-number analog), tie-broken by the
+    * state's lifecycle rank. This is the resolved view the LSM write
+    * path defers; the URL-seen anti-joins skip it (membership is
+    * monotone — any row means seen). */
+  def readStatesLatest(only: Option[Set[Int]] = None): DataFrame = {
+    val raw = states.readBuckets(spark, only)
+    if (states.readManifest().bucketPaths.isEmpty) return raw
+    val versioned = raw.withColumn("__v",
+      regexp_extract(input_file_name(), "commit=(\\d+)/", 1).cast(LongType))
+    val w = Window.partitionBy($"fingerprint")
+      .orderBy($"__v".desc, $"state".desc)
+    versioned.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+      .select(statesSchema.fieldNames.map(col): _*)
+  }
+
+  /** Fold states delta files into one base per overgrown bucket (the
+    * LSM compaction; run between epochs like compactQueue). Resolves
+    * last-wins so the fold is also a dedup; sidecars of folded buckets
+    * are re-stamped (membership unchanged) when they were fresh. */
+  def compactStates(maxFilesPerBucket: Int = 8): Int = states.withTableLock {
+    val m = states.readManifest()
+    val overgrown = m.bucketPaths.collect {
+      case (b, ps) if ps.size > maxFilesPerBucket => b
+    }.toSet
+    if (overgrown.isEmpty) 0
+    else {
+      val freshBefore = overgrown.filter(b => bloomFresh(m, b))
+      states.replaceBuckets(readStatesLatest(Some(overgrown)), m.epoch,
+        alsoClear = overgrown,
+        counters = Map("compacted_state_buckets" -> overgrown.size.toLong))
+      if (useBloom && freshBefore.nonEmpty) {
+        // the fold changed no membership — carry the stamp forward so the
+        // rewrite doesn't demote fresh sidecars to stale
+        val newV = states.currentVersion
+        bloomSeen.mergeUpdates(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            statesSchema), freshBefore, newV)
+      }
+      overgrown.size
     }
   }
 
@@ -540,10 +617,16 @@ final class SparkFrontier(
   }
 
   /** Last processed-epoch marker (jid analog, worker/strategy.py:53-71):
-    * replayed event batches are dropped. */
+    * replayed event batches are dropped. The marker rides in the STATES
+    * commit — the last store an epoch touches — so "marker set" implies
+    * "every store committed" with zero extra manifest flips (stores
+    * written by older builds carried it in the queue manifest; both are
+    * read). */
   private val jidKey = "jid.lastProcessed"
   def lastProcessedEpoch: Long =
-    queue.readManifest().props.get(jidKey).map(_.toLong).getOrElse(-1L)
+    math.max(
+      states.readManifest().props.get(jidKey).map(_.toLong).getOrElse(-1L),
+      queue.readManifest().props.get(jidKey).map(_.toLong).getOrElse(-1L))
 
   /** Process crawl results: `pages` = the fetched batch (must carry
     * fingerprint/url/depth/score/created_at), `links` = extracted links
@@ -617,12 +700,16 @@ final class SparkFrontier(
     // F5: same-domain filter (discovery _is_from_same_domain,
     // discovery/__init__.py:516-523) — also part of
     // filter_extracted_links, before the states fetch
-    val l0 = discovery match {
+    val l0raw = discovery match {
       case Some(d) if d.sameDomainOnly =>
         l0a.filter(FrontierExprs.sld($"host") ===
           FrontierExprs.sld(url_host($"parent_url")))
       case _ => l0a
     }
+    // discovery consumes the filtered links TWICE (dedup/anti-join chain
+    // + the subdomain-set aggregation) — cache so each epoch makes one
+    // pass over the link-filter pipeline, not two
+    val l0 = if (discovery.isDefined) l0raw.cache() else l0raw
     // first occurrence wins: order links by the dequeue order of their
     // parent (which follows the queue ordering), then extraction order —
     // reproduces the sequential schedule order of the reference manager
@@ -658,13 +745,17 @@ final class SparkFrontier(
     // they're not in the persisted bloom yet, so that check is a separate
     // broadcast anti-join against the (small) batch.
     var probeCache: Option[DataFrame] = None
+    // domain buckets present among this epoch's links — collected in the
+    // same job as the Bloom maybe-buckets (below) so the A4 budget join
+    // reads only those `domain_metadata` buckets instead of the whole
+    // table (at 10^10 URLs the table spans every bucket; an epoch's links
+    // touch a few)
+    var budgetDBuckets: Option[Set[Int]] = None
+    val wantDB = discovery.exists(_.maxPagesPerDomain > 0)
     val notSeenPersisted =
       if (useBloom) {
         val sm = states.readManifest()
-        val fresh = (0 until stateBuckets).filter { b =>
-          sm.bucketVersions.get(b).forall(rv =>
-            bloomSeen.version(b).exists(_ >= rv))
-        }.toSet
+        val fresh = (0 until stateBuckets).filter(b => bloomFresh(sm, b)).toSet
         val bc = bloomSeen.broadcastFor(spark, fresh)
         val withB = deduped.withColumn("__sb", sbucketCol($"fingerprint"))
         // native expression — the probe stays in whole-stage codegen,
@@ -676,8 +767,17 @@ final class SparkFrontier(
           else probe
         val probed = withB.withColumn("__maybe", maybeCond).cache()
         probeCache = Some(probed)
-        val maybeBuckets = probed.filter($"__maybe").select($"__sb")
-          .distinct().as[Int].collect().toSet
+        val maybeBuckets =
+          if (wantDB) {
+            val (mb, db) = probed.agg(
+              collect_set(when($"__maybe", $"__sb")),
+              collect_set(host_partition(FrontierExprs.sld($"host"), partitions)))
+              .as[(Seq[Int], Seq[Int])].first()
+            budgetDBuckets = Some(db.toSet)
+            mb.toSet
+          } else
+            probed.filter($"__maybe").select($"__sb")
+              .distinct().as[Int].collect().toSet
         val definiteNew = probed.filter(!$"__maybe").drop("__sb", "__maybe")
         val maybeSeen = probed.filter($"__maybe").drop("__sb", "__maybe")
         definiteNew.unionByName(
@@ -741,7 +841,10 @@ final class SparkFrontier(
     // reference's LIMIT REACHED path)
     val scheduled = (discovery match {
       case Some(d) if d.maxPagesPerDomain > 0 =>
-        val dm = domainMeta.read(spark)
+        // bucket-pruned: only the domain buckets this epoch links into
+        // (collected alongside the bloom probe); full read only in the
+        // no-bloom fallback path
+        val dm = domainMeta.readBuckets(spark, budgetDBuckets)
           .select($"domain".as("__domain"), $"queued_pages".as("__qp0"))
         // budget keeps the BEST-ranked links under the active dequeue
         // ordering (under ScoreCreatedDesc, discovery's home/probe links
@@ -751,8 +854,18 @@ final class SparkFrontier(
             Seq($"score".desc, $"created_at".asc, $"url".asc)
           case _ => Seq($"score".asc, $"created_at".asc, $"url".asc)
         }
+        // two-phase rank: phase 1 caps each (domain, salt) group at the
+        // budget, phase 2 ranks the ≤ salts×budget survivors per domain.
+        // Same surviving set (each salt keeps its best `budget` rows, and
+        // the global best `budget − qp0` all sit inside those), but a
+        // domain flooded with 10^8 candidate links sorts in 16 parallel
+        // window groups instead of one straggler task
+        val salt = pmod(xxhash64($"fingerprint"), lit(16))
+        val w1 = Window.partitionBy($"__domain", salt).orderBy(budgetOrder: _*)
         val w = Window.partitionBy($"__domain").orderBy(budgetOrder: _*)
         scheduled0.withColumn("__domain", FrontierExprs.sld($"host"))
+          .withColumn("__rn1", row_number().over(w1))
+          .filter($"__rn1" <= d.maxPagesPerDomain)
           .join(dm, Seq("__domain"), "left_outer")
           .withColumn("__rn", row_number().over(w))
           .filter(coalesce($"__qp0", lit(0L)) + $"__rn" <= d.maxPagesPerDomain)
@@ -774,6 +887,12 @@ final class SparkFrontier(
     val touched = updStats.map(_._1).toSet
     val nScheduled = updStats.collect {
       case (_, s, n) if s == graft.local.States.Queued => n }.sum
+    // provable-emptiness counters (skip whole commits below): a nonempty
+    // `pages`/`errors` frame always contributes CRAWLED/ERROR states
+    val nCrawledStates = updStats.collect {
+      case (_, s, n) if s == graft.local.States.Crawled => n }.sum
+    val nErrorStates = updStats.collect {
+      case (_, s, n) if s == graft.local.States.Error => n }.sum
     probeCache.foreach(_.unpersist())
 
     // revisit: crawled pages re-enter the queue, visible `interval`
@@ -792,9 +911,12 @@ final class SparkFrontier(
     // has already applied (its manifest epoch is monotone), so a replay
     // after a crash BETWEEN the epoch's commits heals the stores that
     // missed out without duplicating the ones that didn't. The jid
-    // marker is committed LAST (below) — only a fully-applied epoch
-    // gets the fast-path drop at the top of this method.
-    if (queue.readManifest().epoch < epochNo)
+    // marker rides in the states commit — the LAST store an epoch
+    // touches — so only a fully-applied epoch gets the fast-path drop at
+    // the top of this method. Provably-empty commits are skipped
+    // entirely (per-epoch fixed cost = manifest flips × footer walks).
+    if ((nScheduled > 0 || revisitIntervalEpochs.isDefined) &&
+        queue.readManifest().epoch < epochNo)
       queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled))
 
     // domain_metadata merge (A4/J2/§2.7): per-domain queued_pages bump,
@@ -824,7 +946,10 @@ final class SparkFrontier(
       val contribs = (Seq(counts) ++ subs ++ robotsRows).reduce(_.unionByName(_))
         .withColumn("dbucket", host_partition($"domain", partitions)).cache()
       val touchedD = contribs.select($"dbucket").distinct().as[Int].collect().toSet
-      if (touchedD.nonEmpty) {
+      // the read-merge-write holds the table lock: a concurrent writer
+      // (e.g. another epoch's merge in a pipelined deployment) cannot
+      // commit between our snapshot and our replaceBuckets
+      if (touchedD.nonEmpty) domainMeta.withTableLock {
         val oldRows = domainMeta.readBuckets(spark, Some(touchedD))
           .select($"domain", $"queued_pages".as("qp"), $"robots_body",
             $"subdomains", lit(0).as("prio"))
@@ -857,41 +982,46 @@ final class SparkFrontier(
             .withColumn("fetched_epoch", lit(epochNo)))
       case None => okMeta
     }
-    if (metadata.readManifest().epoch < epochNo)
+    if ((nCrawledStates > 0 || nErrorStates > 0) &&
+        metadata.readManifest().epoch < epochNo)
       metadata.append(
         allMeta
           .withColumn("partition_id", host_partition(url_host($"url"), partitions))
           .select(metadataSchema.fieldNames.map(col): _*),
         epochNo)
 
-    // states merge commit (replay-guarded like the other stores)
+    // states merge commit (replay-guarded like the other stores) — the
+    // LAST commit of the epoch, so the jid marker rides in it for free:
+    // "marker set" still implies "epoch fully applied" with no extra
+    // manifest flip, and a crash anywhere earlier leaves it unset
     if (touched.nonEmpty && states.readManifest().epoch < epochNo) {
       val nCrawled = if (nPages >= 0) nPages else pages.count()
       mergeStateUpdates(updates, touched, epochNo,
-        Map("crawled" -> nCrawled, "queued" -> nScheduled))
+        Map("crawled" -> nCrawled, "queued" -> nScheduled),
+        props = Map(jidKey -> epochNo.toString))
     }
 
-    // epoch COMPLETE: commit the jid marker (fast-path replay drop) and
-    // release the A7 in-flight gauge in one final queue-manifest flip —
-    // a crash before this point leaves the marker unset, so a replay
-    // re-enters and the per-table guards above apply only what's missing
-    val fcProps: Map[String, String] =
-      if (!flowControl) Map.empty
-      else {
-        val pp = pages.select(host_partition(url_host($"url"), partitions).as("p"))
-        val all = errors.fold(pp)(e => pp.unionByName(
-          e.select(host_partition(url_host($"url"), partitions).as("p"))))
-        val cur = queue.readManifest().props
-        all.groupBy($"p").count().as[(Int, Long)].collect().map { case (b, n) =>
+    // A7 only: release the in-flight gauge in one final queue-manifest
+    // flip (the gauge lives in the queue manifest, where the dequeue
+    // reads it). Without flow control the epoch ends with the states
+    // commit above — no extra flip.
+    if (flowControl) {
+      val pp = pages.select(host_partition(url_host($"url"), partitions).as("p"))
+      val all = errors.fold(pp)(e => pp.unionByName(
+        e.select(host_partition(url_host($"url"), partitions).as("p"))))
+      val cur = queue.readManifest().props
+      val fcProps = all.groupBy($"p").count().as[(Int, Long)].collect()
+        .map { case (b, n) =>
           s"fc.p$b" -> math.max(0L,
             cur.getOrElse(s"fc.p$b", "0").toLong - n).toString
         }.toMap
-      }
-    queue.commitCounters(epochNo, Map("scheduled" -> nScheduled),
-      props = Map(jidKey -> epochNo.toString) ++ fcProps)
+      queue.commitCounters(epochNo, Map("scheduled" -> nScheduled),
+        props = fcProps)
+    }
 
     scheduled.unpersist()
     updates.unpersist()
+    if (discovery.isDefined) l0.unpersist()
   }
 
   /** Compact queue bands whose file count grew past the threshold
@@ -905,9 +1035,10 @@ final class SparkFrontier(
   def compactMetadata(maxFilesPerBucket: Int = 16): Int =
     metadata.compact(spark, maxFilesPerBucket)
 
-  /** URL-seen membership snapshot (conformance checks). */
+  /** URL-seen membership snapshot (conformance checks) — the resolved
+    * merge-on-read view (last state wins over the LSM delta log). */
   def stateSnapshot(): Map[String, Int] =
-    states.read(spark).select($"fingerprint", $"state").as[(String, Int)]
+    readStatesLatest().select($"fingerprint", $"state").as[(String, Int)]
       .collect().toMap
 
   def queueSize(): Long = queue.read(spark).count()

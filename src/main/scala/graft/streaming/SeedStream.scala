@@ -13,15 +13,24 @@ import graft.spark.SparkFrontier
   * micro-batch is trimmed, comment-filtered, and scheduled into the
   * frontier via foreachBatch.
   *
-  * Exactly-once: foreachBatch alone is at-least-once (a crash between
-  * the frontier commit and the streaming-checkpoint commit replays the
+  * Delivery: foreachBatch alone is at-least-once (a crash between the
+  * frontier commit and the streaming-checkpoint commit replays the
   * micro-batch). The sink is idempotent by CONTENT: `addSeedsDF` follows
   * the shipped read_seeds semantics — it refreshes states, schedules
   * only NOT_CRAWLED urls, and marks them QUEUED — so a replayed (or,
   * after a checkpoint reset, re-offered) seed file dedupes against the
   * states table while genuinely new URLs always schedule. A batchId
   * high-water mark would NOT survive a checkpoint reset (batch ids
-  * restart at 0 and new files would be dropped). */
+  * restart at 0 and new files would be dropped).
+  *
+  * Known at-least-once window (deliberate): addSeedsDF appends to the
+  * queue BEFORE merging the QUEUED states — a crash exactly between
+  * those two commits followed by a replay re-appends the same queue
+  * rows (the states anti-join doesn't see them yet), so those seeds can
+  * be fetched twice. The ordering is the safe one (the reverse would
+  * LOSE seeds: states-first + crash = URLs marked seen but never
+  * queued); the crawl itself stays exact because the second fetch hits
+  * the URL-seen states check at link-processing time. */
 final class SeedStream(frontier: SparkFrontier, seedsDir: String) {
 
   /** Process everything currently in the directory, then stop
