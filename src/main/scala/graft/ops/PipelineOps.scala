@@ -390,41 +390,56 @@ object PipelineOps {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.1""".stripMargin
 
-  /** MinHash + LSH candidate pairs: 4 hashes (min of md5(token|i)),
-    * 2 bands of 2 → pairs sharing a band bucket.
-    * Scale: per-doc agg + self-join on band key — the standard
-    * shingle→minhash→band→bucket-join, all hash-partitioned. */
+  /** MinHash + LSH candidate pairs, parameterized signature shape
+    * (default 16 permutations in 4 bands of 4 — the standard recall
+    * dial; crank `minhashPerms`/`minhashBands` to 128/16 for production
+    * recall, the code is the same loop). Each permutation is min of
+    * md5(token|i); a band key is the md5 of its row concat; pairs share
+    * a band bucket.
+    * Scale: per-doc agg (one pass, `perms` partial aggs, map-side
+    * combinable) + self-join on band key — the standard
+    * shingle→minhash→band→bucket-join, all hash-partitioned; candidates
+    * per bucket bounded by band selectivity, never all-pairs. */
+  private val minhashPerms = 16
+  private val minhashBands = 4
+  private val minhashRows = minhashPerms / minhashBands
+
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
     val sigs = toks.groupBy(col("doc_id")).agg(
       min(md5(concat(col("tok"), lit("|0")))).as("h0"),
-      min(md5(concat(col("tok"), lit("|1")))).as("h1"),
-      min(md5(concat(col("tok"), lit("|2")))).as("h2"),
-      min(md5(concat(col("tok"), lit("|3")))).as("h3"))
-    val bands = sigs.select(col("doc_id"), md5(concat(col("h0"), col("h1"))).as("bk"))
-      .union(sigs.select(col("doc_id"), md5(concat(col("h2"), col("h3"))).as("bk")))
+      (1 until minhashPerms).map(i =>
+        min(md5(concat(col("tok"), lit(s"|$i")))).as(s"h$i")): _*)
+    val bands = (0 until minhashBands).map { b =>
+      val rowCols = (0 until minhashRows).map(r => col(s"h${b * minhashRows + r}"))
+      sigs.select(col("doc_id"), md5(concat(rowCols: _*)).as("bk"))
+    }.reduce(_.union(_))
     bands.as("a").join(bands.as("b"),
       col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
-  val qDedupMinhashLshSql: String =
-    """WITH toks AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |sigs AS (
-      |  SELECT doc_id,
-      |    min(md5(tok || '|0')) AS h0, min(md5(tok || '|1')) AS h1,
-      |    min(md5(tok || '|2')) AS h2, min(md5(tok || '|3')) AS h3
-      |  FROM toks GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, md5(h0 || h1) AS bk FROM sigs
-      |  UNION ALL
-      |  SELECT doc_id, md5(h2 || h3) AS bk FROM sigs)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+  val qDedupMinhashLshSql: String = {
+    val mins = (0 until minhashPerms)
+      .map(i => s"min(md5(tok || '|$i')) AS h$i").mkString(", ")
+    val bandSelects = (0 until minhashBands).map { b =>
+      val rowConcat = (0 until minhashRows)
+        .map(r => s"h${b * minhashRows + r}").mkString(" || ")
+      s"SELECT doc_id, md5($rowConcat) AS bk FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, $mins
+       |  FROM toks GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+  }
 
   /** SimHash (16-bit, md5-nibble based): per-document locality-sensitive
     * bit signature. Scale: explode + 16 conditional aggs, map-side
@@ -662,6 +677,101 @@ object PipelineOps {
       |FROM documents""".stripMargin
 
   // =====================================================================
+  // Domain-control operators (ban flags, blacklist, score updates,
+  // redirect sets — the round-3 engine features, as oracle queries)
+  // =====================================================================
+
+  /** Domain ban/fatal filter (is_domain_to_ignore,
+    * discovery/__init__.py:39-44): candidate links into banned or
+    * fatal-errored domains are dropped before scheduling. Banned/fatal
+    * sets derived deterministically from the host number.
+    * Scale: broadcast-able flag table anti-joined on the domain key. */
+  def qDomainBanFilter(spark: SparkSession, dir: String): DataFrame =
+    urls(spark, dir)
+      .filter(!(col("hostnum") % 11 === 3) && !(col("hostnum") % 13 === 5))
+      .groupBy(col("hostnum")).agg(count(lit(1)).as("schedulable"))
+
+  val qDomainBanFilterSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT hostnum, count(*) AS schedulable FROM u
+       |WHERE NOT (hostnum % 11 = 3) AND NOT (hostnum % 13 = 5)
+       |GROUP BY hostnum""".stripMargin
+
+  /** F4: DOMAINS_BLACKLIST (batch_generator.py:97-109) — dequeued rows
+    * whose hostname is blacklisted are dropped from the batch.
+    * Scale: an isin filter against a broadcast set, pushed to the scan. */
+  def qF4Blacklist(spark: SparkSession, dir: String): DataFrame =
+    urls(spark, dir)
+      .withColumn("host", concat(lit("host"), col("hostnum"), lit(".example")))
+      .filter(!col("host").isin("host0.example", "host7.example", "host21.example"))
+      .groupBy(col("host")).agg(count(lit(1)).as("kept"))
+
+  val qF4BlacklistSql: String =
+    s"""WITH u AS ($urlsSql)
+       |SELECT 'host' || hostnum || '.example' AS host, count(*) AS kept
+       |FROM u
+       |WHERE 'host' || hostnum || '.example'
+       |    NOT IN ('host0.example', 'host7.example', 'host21.example')
+       |GROUP BY 1""".stripMargin
+
+  /** dont_queue score update (core/manager.py:769-798): re-score queued
+    * rows without re-queueing; dequeue order follows the NEW scores.
+    * Updates derived from a deterministic event subset; output = the
+    * re-ranked per-host top 3. Scale: key-partitioned join + bounded
+    * window per host. */
+  def qScoreUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val u = urls(spark, dir)
+    val upd = u.filter(col("event_id") % 17 === 0)
+      .select(col("url"), round(col("value") / 2, 6).as("ns"))
+    val w = Window.partitionBy(col("hostnum"))
+      .orderBy(col("fs").asc, col("event_id").asc)
+    u.join(upd, Seq("url"), "left_outer")
+      .withColumn("fs", coalesce(col("ns"), round(col("value"), 6)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("hostnum"), col("event_id"), col("fs"))
+  }
+
+  val qScoreUpdateSql: String =
+    s"""WITH u AS ($urlsSql),
+       |upd AS (SELECT url, round(value / 2, 6) AS ns FROM u WHERE event_id % 17 = 0)
+       |SELECT hostnum, event_id, fs FROM (
+       |  SELECT u.hostnum, u.event_id, coalesce(upd.ns, round(u.value, 6)) AS fs,
+       |         row_number() OVER (PARTITION BY u.hostnum
+       |                            ORDER BY coalesce(upd.ns, round(u.value, 6)) ASC,
+       |                                     u.event_id ASC) AS rn
+       |  FROM u LEFT JOIN upd ON u.url = upd.url) WHERE rn <= 3""".stripMargin
+
+  /** J3/§2.7: per-domain redirect sets (capped
+    * MAX_DOMAINS_REDIRECTS_STORE, discovery/__init__.py:478-507) — the
+    * first 5 distinct redirect targets per origin domain, as exploded
+    * rows (set semantics with a deterministic cap order).
+    * Scale: distinct + bounded window per origin key. */
+  def qJ3RedirectDomains(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .select(concat(lit("h"), col("user_id") % 50).as("from_d"),
+        concat(lit("h"), (col("user_id") * 7 + col("event_id")) % 50).as("to_d"))
+      .filter(col("from_d") =!= col("to_d"))
+      .distinct()
+    val w = Window.partitionBy(col("from_d")).orderBy(col("to_d").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("from_d"), col("to_d"))
+  }
+
+  val qJ3RedirectDomainsSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT 'h' || (user_id % 50) AS from_d,
+      |         'h' || ((user_id * 7 + event_id) % 50) AS to_d
+      |  FROM events WHERE event_type = 'view'
+      |    AND 'h' || (user_id % 50) <> 'h' || ((user_id * 7 + event_id) % 50))
+      |SELECT from_d, to_d FROM (
+      |  SELECT from_d, to_d,
+      |         row_number() OVER (PARTITION BY from_d ORDER BY to_d ASC) AS rn
+      |  FROM pairs) WHERE rn <= 5""".stripMargin
+
+  // =====================================================================
   // registry
   // =====================================================================
 
@@ -692,7 +802,11 @@ object PipelineOps {
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
-    "q_multimodal_meta" -> (qMultimodalMeta _))
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_domain_ban_filter" -> (qDomainBanFilter _),
+    "q_f4_blacklist" -> (qF4Blacklist _),
+    "q_score_update" -> (qScoreUpdate _),
+    "q_j3_redirect_domains" -> (qJ3RedirectDomains _))
 
   val oracleSql: Map[String, String] = Map(
     "q_s1_seeds" -> qS1SeedsSql,
@@ -721,5 +835,9 @@ object PipelineOps {
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
-    "q_multimodal_meta" -> qMultimodalMetaSql)
+    "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_domain_ban_filter" -> qDomainBanFilterSql,
+    "q_f4_blacklist" -> qF4BlacklistSql,
+    "q_score_update" -> qScoreUpdateSql,
+    "q_j3_redirect_domains" -> qJ3RedirectDomainsSql)
 }

@@ -133,14 +133,22 @@ final class BucketStore(val root: String, val bucketCol: String,
 
   /** Read only the given leaf dirs (band-pruned dequeue scans).
     * Reads are normalized to `schema` (the commit=… / band=… dir levels
-    * would otherwise surface as extra partition columns). */
+    * would otherwise surface as extra partition columns); fields the
+    * files predate are filled with typed nulls — additive schema
+    * evolution, the Iceberg add-column semantics (a store written before
+    * a column existed keeps reading after the upgrade). */
   def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val schema = emptySchema.getOrElse(sys.error(s"$root: schema not set"))
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.option("basePath", s"$root/data").parquet(paths: _*)
-        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val df = spark.read.option("basePath", s"$root/data").parquet(paths: _*)
+      val present = df.columns.toSet
+      df.select(schema.fields.map(f =>
+        if (present(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
   }
 
   /** Declared schema (also used for reads before the first commit). */

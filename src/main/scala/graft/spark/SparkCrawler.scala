@@ -103,7 +103,7 @@ final class SparkCrawler(
     val pages = fetched.select($"fingerprint", $"url", $"depth", $"score", $"created_at")
     // redirect resolution: links come from the LANDING url's page; the
     // batch row keeps the dequeued url as its identity (J3)
-    val (okContent, aliasSeen) = redirects match {
+    val (okContent, aliasSeen, redirectPairs) = redirects match {
       case Some(r) =>
         val withR = ok.join(r, Seq("url"), "left_outer")
         val content = withR.withColumn("__curl",
@@ -111,8 +111,19 @@ final class SparkCrawler(
         val alias = withR
           .select(explode(coalesce($"redirect_urls", array())).as("__aurl"))
           .select(FrontierExprs.url_fingerprint($"__aurl").as("fingerprint"))
-        (content, Some(alias))
-      case None => (ok.withColumn("__curl", $"url"), None)
+        // per-domain redirect bookkeeping: only probe/home requests feed
+        // the domain redirect sets (reference _get_domain_after_redirects
+        // gates on robots/sitemap/home meta), and only cross-netloc hops
+        def isProbeOrHome(u: org.apache.spark.sql.Column) =
+          u.endsWith("/robots.txt") || u.rlike("sitemap[^/]*\\.xml$") ||
+            FrontierExprs.is_home_page(u)
+        val pairs = withR
+          .filter($"redirect_urls".isNotNull && isProbeOrHome($"url"))
+          .select(FrontierExprs.url_host($"url").as("from_host"),
+            FrontierExprs.url_host(element_at($"redirect_urls", -1)).as("to_host"))
+          .filter($"from_host" =!= $"to_host")
+        (content, Some(alias), Some(pairs))
+      case None => (ok.withColumn("__curl", $"url"), None, None)
     }
     val webLinks = okContent
       .join(web.withColumnRenamed("url", "__wurl"),
@@ -155,7 +166,8 @@ final class SparkCrawler(
     }
     frontier.processCrawled(pages, links, epochNo,
       nPages = if (fetchError.isEmpty) n else -1L, errors = errs,
-      domainData = domainData, aliasSeen = aliasSeen)
+      domainData = domainData, aliasSeen = aliasSeen,
+      redirectPairs = redirectPairs)
     batch.unpersist()
     true
   }

@@ -60,7 +60,12 @@ final case class DiscoveryConfig(
     justifyScores: Boolean = true,
     /** links matching this regex score 0.7 ("of interest", the
       * is_link_of_interest subclass hook); others 0.5, home pages 0.8 */
-    interestPattern: Option[String] = None)
+    interestPattern: Option[String] = None,
+    /** fetch-error strings matching this regex mark the domain
+      * `fatal_error` — no further scheduling into it (reference
+      * request_error, discovery/__init__.py:267-276: DNSLookupError is
+      * the shipped fatal class) */
+    fatalErrorPattern: String = "DNSLookupError")
 
 /** Spark-native crawl frontier over bucketed snapshot tables.
   *
@@ -127,6 +132,14 @@ final class SparkFrontier(
       * filters; a transform that filters rows out drops them from the
       * chain, like a middleware returning None) */
     val linkTransforms: Seq[DataFrame => DataFrame] = Nil,
+    /** first-class DOMAINS_BLACKLIST (reference
+      * settings/default_settings.py:42, checked at batch generation —
+      * worker/components/batch_generator.py:97-109): dequeued rows whose
+      * lowercased hostname is in this set are DROPPED from the batch
+      * (and from the queue when their band is rewritten), exactly the
+      * reference's "drop black-listed hostname" position in the
+      * pipeline */
+    val domainsBlacklist: Set[String] = Set.empty,
     /** A7 offset-lag flow control (reference incoming_consumer.py:99-114):
       * track per-partition in-flight rows (dequeued − processed, the
       * producer−consumer offset lag); a partition whose lag reaches the
@@ -172,6 +185,17 @@ final class SparkFrontier(
     StructField("domain", StringType), StructField("queued_pages", LongType),
     StructField("robots_body", StringType),
     StructField("subdomains", ArrayType(StringType)),
+    /** ban flags (discovery/__init__.py:39-44): `banned` set by the
+      * operator/strategy, `fatal_error` by the error path (DNS-class
+      * failures, :276) — either makes is_domain_to_ignore true and stops
+      * all scheduling into the domain */
+    StructField("banned", BooleanType),
+    StructField("fatal_error", StringType),
+    /** per-domain redirect netloc sets (capped
+      * MAX_DOMAINS_REDIRECTS_STORE=100, discovery/__init__.py:478-507),
+      * fed by the J3 canonical-solver path for probe/home requests */
+    StructField("redirect_from", ArrayType(StringType)),
+    StructField("redirect_to", ArrayType(StringType)),
     StructField("dbucket", IntegerType)))
   val domainMeta = new BucketStore(s"$root/domain_metadata", "dbucket", partitions)
   val bloomSeen = new BloomSeen(s"$root/states")
@@ -372,6 +396,115 @@ final class SparkFrontier(
     }
   }
 
+  /** Canonical domain-metadata contribution shape: any subset of the
+    * columns in, full contrib row (typed nulls / neutral elements) out. */
+  private val contribCols = Seq("domain", "qp", "robots_body", "subdomains",
+    "banned", "fatal_error", "redirect_from", "redirect_to", "prio")
+  private def asContrib(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(contribCols.map {
+      case c if have(c) => col(c)
+      case "qp" => lit(0L).as("qp")
+      case "prio" => lit(1).as("prio")
+      case "banned" => lit(null).cast(BooleanType).as("banned")
+      case c @ ("subdomains" | "redirect_from" | "redirect_to") =>
+        lit(null).cast(ArrayType(StringType)).as(c)
+      case c => lit(null).cast(StringType).as(c)
+    }: _*)
+  }
+
+  /** MERGE INTO domain_metadata: one co-located merge over the touched
+    * domain buckets only. The read-merge-write holds the table lock so a
+    * concurrent writer (another epoch's merge in a pipelined deployment,
+    * or banDomains) cannot commit between the snapshot and the rewrite. */
+  private def mergeDomainContribs(contribs0: DataFrame, epochNo: Long): Unit = {
+    val contribs = contribs0
+      .withColumn("dbucket", host_partition($"domain", partitions)).cache()
+    val touchedD = contribs.select($"dbucket").distinct().as[Int].collect().toSet
+    if (touchedD.nonEmpty) domainMeta.withTableLock {
+      val oldRows = asContrib(domainMeta.readBuckets(spark, Some(touchedD))
+        .select($"domain", $"queued_pages".as("qp"), $"robots_body",
+          $"subdomains", $"banned", $"fatal_error",
+          $"redirect_from", $"redirect_to", lit(0).as("prio")))
+      val merged = oldRows.unionByName(contribs.drop("dbucket"))
+        .groupBy($"domain").agg(
+          sum($"qp").as("queued_pages"),
+          // latest non-null robots body wins (nulls excluded from max)
+          max(when($"robots_body".isNotNull, struct($"prio", $"robots_body")))
+            .getField("robots_body").as("robots_body"),
+          slice(array_sort(array_distinct(flatten(collect_list($"subdomains")))),
+            1, 10).as("subdomains"),
+          // a ban/fatal flag is sticky once set (reference semantics:
+          // nothing in discovery ever clears them)
+          coalesce(max($"banned"), lit(false)).as("banned"),
+          max($"fatal_error").as("fatal_error"),
+          slice(array_sort(array_distinct(flatten(collect_list($"redirect_from")))),
+            1, 100).as("redirect_from"),
+          slice(array_sort(array_distinct(flatten(collect_list($"redirect_to")))),
+            1, 100).as("redirect_to"))
+        .withColumn("dbucket", host_partition($"domain", partitions))
+        .select(domainMetaSchema.fieldNames.map(col): _*)
+      domainMeta.replaceBuckets(merged, epochNo, alsoClear = touchedD)
+    }
+    contribs.unpersist()
+  }
+
+  /** Operator/strategy ban switch (the reference's `'banned' in domain`
+    * check, discovery/__init__.py:43-44): marks 2nd-level domains banned
+    * in domain_metadata; scheduling skips them from the next epoch on. */
+  def banDomains(domains: Seq[String]): Unit = {
+    if (domains.isEmpty) return
+    val dd = asContrib(domains.toDF("domain").withColumn("banned", lit(true)))
+    mergeDomainContribs(dd, domainMeta.readManifest().epoch)
+  }
+
+  /** Score-update-only schedule — the reference's
+    * `schedule(request, score, dont_queue=True)` channel
+    * (strategy/__init__.py:114-122 → core/manager.py:769-798, the
+    * update_score path): re-score ALREADY-QUEUED requests without
+    * re-queueing. `updates` carries (url, score); matching queue rows
+    * get the new score — moving across score bands, so dequeue order
+    * follows — and only the bands holding a matched row are rewritten.
+    * URLs not currently queued are ignored (no new row; the reference
+    * likewise only updates existing state). Reads are bucket-pruned to
+    * the updates' host partitions; the rewrite is band-pruned. Returns
+    * the number of rows re-scored. */
+  def updateScores(updates: DataFrame): Long = queue.withTableLock {
+    val up = identity(updates.select(col("url"), col("score")), "url")
+      .select($"fingerprint".as("__fp"), $"partition_id".as("__pid"),
+        $"score".as("__newscore"))
+    val m = queue.readManifest()
+    val buckets = up.select($"__pid").distinct().as[Int].collect().toSet
+      .intersect(m.bucketPaths.keySet)
+    if (buckets.isEmpty) 0L
+    else {
+      val rows = queue.readBuckets(spark, Some(buckets))
+        .withColumn("__band", bandExpr).cache()
+      // one job: touched (bucket, band) groups + per-group matched counts
+      val matched = rows
+        .join(up.select($"__fp"), rows("fingerprint") === $"__fp", "left_semi")
+        .groupBy($"partition_id", $"__band").count()
+        .as[(Int, Int, Long)].collect()
+      val n = matched.map(_._3).sum
+      if (matched.isEmpty) { rows.unpersist(); 0L }
+      else {
+        val touchedKeys = matched.map { case (b, band, _) => s"${b}_$band" }.toSet
+        val removePaths = matched.flatMap { case (b, band, _) =>
+          m.bucketPaths.getOrElse(b, Nil).filter(p => queue.bandOf(p) == band)
+        }.toSet
+        val groupKey = concat_ws("_", $"partition_id", $"__band")
+        val rescored = rows.filter(groupKey.isInCollection(touchedKeys))
+          .join(up, rows("fingerprint") === $"__fp", "left_outer")
+          .withColumn("score", coalesce($"__newscore", $"score"))
+          .select(queueSchema.fieldNames.map(col): _*)
+        queue.replacePaths(withBand(rescored), m.epoch, removePaths,
+          counters = Map("rescored" -> n))
+        rows.unpersist()
+        n
+      }
+    }
+  }
+
   /** Bulk-schedule a frontier (bench/prefill path): df must carry
     * (url, score, depth); identity columns and partitioning are computed
     * here, created_at from a hash (arbitrary-but-deterministic order). */
@@ -509,17 +642,26 @@ final class SparkFrontier(
           .withColumn("__sel", $"__rank" <= maxNextRequests)
     }
 
+    // F4: DOMAINS_BLACKLIST at batch-generation position (reference
+    // batch_generator._is_domain_blacklisted): blacklisted hosts are
+    // never selected AND are dropped from the rewrite residue — deleted
+    // from the queue lazily, whenever their band is touched
+    val blCond: Column =
+      if (domainsBlacklist.isEmpty) lit(false)
+      else lower($"host").isInCollection(domainsBlacklist.map(_.toLowerCase))
     // ranking must see only visible rows — rank over a pre-filtered
-    // frame, then union the invisible rows back (unranked, unselected)
-    def tagVisibilityAware(scanned: DataFrame): DataFrame = {
-      val visOnly = tag(scanned.filter($"crawl_at" <= nowEpoch)
+    // frame, then union the invisible/blacklisted rows back (unranked,
+    // unselected)
+    def tagVisibilityAware(scanned0: DataFrame): DataFrame = {
+      val scanned = scanned0.withColumn("__bl", blCond)
+      val visOnly = tag(scanned.filter(!$"__bl" && $"crawl_at" <= nowEpoch)
         .withColumn("__vis", lit(true)))
-      val invisible = scanned.filter($"crawl_at" > nowEpoch)
+      val rest = scanned.filter($"__bl" || $"crawl_at" > nowEpoch)
         .withColumn("__vis", lit(false))
         .withColumn("__rank", lit(Int.MaxValue))
-      val inv2 = if (maxPerHost > 0) invisible.withColumn("__hrank", lit(Int.MaxValue))
-                 else invisible
-      visOnly.unionByName(inv2.withColumn("__sel", lit(false)))
+      val rest2 = if (maxPerHost > 0) rest.withColumn("__hrank", lit(Int.MaxValue))
+                  else rest
+      visOnly.unionByName(rest2.withColumn("__sel", lit(false)))
     }
 
     var tries = 0
@@ -538,6 +680,7 @@ final class SparkFrontier(
       // manifest's per-path crawl_at maxima prove every scanned row
       // visible — prefixFor already guarantees >= budget rows per bucket
       val provablyVisible = maxPerHost == 0 && minHosts <= 0 &&
+        domainsBlacklist.isEmpty &&
         prefix.valuesIterator.flatMap(_.iterator.flatMap(_._2)).forall(p =>
           m.pathMax.get(p).exists(_ <= nowEpoch))
       if (nPaths(prefix) == totalPaths || provablyVisible) {
@@ -588,10 +731,21 @@ final class SparkFrontier(
     // Derived from `batch` so this action MATERIALIZES the batch cache
     // while `tagged` is still cached underneath — otherwise the caller's
     // first action would re-run the whole band scan + ranking
-    val touchedGroups = batch
+    val batchGroups = batch
       .select($"partition_id", bandExpr.as("band"))
       .groupBy($"partition_id", $"band").count()
       .as[(Int, Int, Long)].collect()
+    // blacklisted rows the scan surfaced force their bands into the
+    // rewrite too — that's how they get DELETED even when no selectable
+    // row shares their band (reference: dropped at batch generation)
+    val blGroups =
+      if (domainsBlacklist.isEmpty) Array.empty[(Int, Int)]
+      else tagged.filter($"__bl")
+        .select($"partition_id", bandExpr.as("band")).distinct()
+        .as[(Int, Int)].collect()
+    val batchCounts = batchGroups.map { case (b, band, n) => (b, band) -> n }.toMap
+    val touchedGroups = (batchGroups.map(t => (t._1, t._2)) ++ blGroups).distinct
+      .map { case (b, band) => (b, band, batchCounts.getOrElse((b, band), 0L)) }
     if (touchedGroups.nonEmpty) {
       val touchedKeys = touchedGroups.map { case (b, band, _) => s"${b}_$band" }.toSet
       val removePaths = touchedGroups.flatMap { case (b, band, _) =>
@@ -599,7 +753,7 @@ final class SparkFrontier(
       }.toSet
       val groupKey = concat_ws("_", $"partition_id", bandExpr)
       val remaining = tagged
-        .filter(!$"__sel" && groupKey.isInCollection(touchedKeys))
+        .filter(!$"__sel" && !$"__bl" && groupKey.isInCollection(touchedKeys))
         .select(queueSchema.fieldNames.map(col): _*)
       val perPartition = touchedGroups.groupBy(_._1).view.mapValues(_.map(_._3).sum)
       // A7: bump the in-flight gauge of every partition this batch drew from
@@ -657,7 +811,12 @@ final class SparkFrontier(
         * the document keeps the FIRST url's identity, but every chain
         * member becomes CRAWLED so later links to it are deduped; no
         * metadata row of its own */
-      aliasSeen: Option[DataFrame] = None): Unit = {
+      aliasSeen: Option[DataFrame] = None,
+      /** cross-domain redirects of probe/home fetches this epoch,
+        * (from_host, to_host) — feeds both domains' capped
+        * redirect_from/redirect_to sets in domain_metadata (reference
+        * _get_domain_after_redirects, discovery/__init__.py:478-507) */
+      redirectPairs: Option[DataFrame] = None): Unit = {
     if (epochNo <= lastProcessedEpoch) return // stale replay (jid filter)
     val aliasStates = aliasSeen.map(_.select($"fingerprint").distinct()
       .withColumn("state", lit(graft.local.States.Crawled)))
@@ -845,7 +1004,8 @@ final class SparkFrontier(
         // (collected alongside the bloom probe); full read only in the
         // no-bloom fallback path
         val dm = domainMeta.readBuckets(spark, budgetDBuckets)
-          .select($"domain".as("__domain"), $"queued_pages".as("__qp0"))
+          .select($"domain".as("__domain"), $"queued_pages".as("__qp0"),
+            $"banned".as("__banned"), $"fatal_error".as("__fatal"))
         // budget keeps the BEST-ranked links under the active dequeue
         // ordering (under ScoreCreatedDesc, discovery's home/probe links
         // must win the budget, not lose it)
@@ -867,6 +1027,9 @@ final class SparkFrontier(
           .withColumn("__rn1", row_number().over(w1))
           .filter($"__rn1" <= d.maxPagesPerDomain)
           .join(dm, Seq("__domain"), "left_outer")
+          // is_domain_to_ignore (discovery/__init__.py:43-44): banned or
+          // fatal-errored domains schedule nothing, then the budget
+          .filter(!coalesce($"__banned", lit(false)) && $"__fatal".isNull)
           .withColumn("__rn", row_number().over(w))
           .filter(coalesce($"__qp0", lit(0L)) + $"__rn" <= d.maxPagesPerDomain)
       case _ => scheduled0
@@ -920,52 +1083,45 @@ final class SparkFrontier(
       queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled))
 
     // domain_metadata merge (A4/J2/§2.7): per-domain queued_pages bump,
-    // robots bodies fetched this epoch, and the capped subdomain set —
-    // one MERGE INTO per epoch, bucket-pruned
-    if ((discovery.isDefined || domainData.isDefined) &&
+    // robots bodies fetched this epoch, capped subdomain set, fatal
+    // errors, and redirect netloc sets — one MERGE INTO per epoch,
+    // bucket-pruned
+    if ((discovery.isDefined || domainData.isDefined || redirectPairs.isDefined) &&
         domainMeta.readManifest().epoch < epochNo) {
-      val nullStr = lit(null).cast(StringType)
-      val nullArr = lit(null).cast(ArrayType(StringType))
-      val counts = scheduled
+      val counts = asContrib(scheduled
         .groupBy(FrontierExprs.sld($"host").as("domain"))
-        .agg(count(lit(1)).as("qp"))
-        .select($"domain", $"qp", nullStr.as("robots_body"),
-          nullArr.as("subdomains"), lit(1).as("prio"))
+        .agg(count(lit(1)).as("qp")))
       // chosen links' hostnames feed the domain's subdomain set
       // (discovery/__init__.py:252-254; capped like MAX_SUBDOMAINS)
       val subs =
         if (discovery.isDefined)
-          Some(l0.select(FrontierExprs.sld($"host").as("domain"), $"host").distinct()
-            .groupBy($"domain").agg(collect_set($"host").as("subdomains"))
-            .select($"domain", lit(0L).as("qp"), nullStr.as("robots_body"),
-              $"subdomains", lit(1).as("prio")))
+          Some(asContrib(
+            l0.select(FrontierExprs.sld($"host").as("domain"), $"host").distinct()
+              .groupBy($"domain").agg(collect_set($"host").as("subdomains"))))
         else None
       val robotsRows = domainData.map(dd =>
-        dd.select($"domain", lit(0L).as("qp"), $"robots_body",
-          nullArr.as("subdomains"), lit(1).as("prio")))
-      val contribs = (Seq(counts) ++ subs ++ robotsRows).reduce(_.unionByName(_))
-        .withColumn("dbucket", host_partition($"domain", partitions)).cache()
-      val touchedD = contribs.select($"dbucket").distinct().as[Int].collect().toSet
-      // the read-merge-write holds the table lock: a concurrent writer
-      // (e.g. another epoch's merge in a pipelined deployment) cannot
-      // commit between our snapshot and our replaceBuckets
-      if (touchedD.nonEmpty) domainMeta.withTableLock {
-        val oldRows = domainMeta.readBuckets(spark, Some(touchedD))
-          .select($"domain", $"queued_pages".as("qp"), $"robots_body",
-            $"subdomains", lit(0).as("prio"))
-        val merged = oldRows.unionByName(contribs.drop("dbucket"))
-          .groupBy($"domain").agg(
-            sum($"qp").as("queued_pages"),
-            // latest non-null robots body wins (nulls excluded from max)
-            max(when($"robots_body".isNotNull, struct($"prio", $"robots_body")))
-              .getField("robots_body").as("robots_body"),
-            slice(array_sort(array_distinct(flatten(collect_list($"subdomains")))),
-              1, 10).as("subdomains"))
-          .withColumn("dbucket", host_partition($"domain", partitions))
-          .select(domainMetaSchema.fieldNames.map(col): _*)
-        domainMeta.replaceBuckets(merged, epochNo, alsoClear = touchedD)
+        asContrib(dd.select($"domain", $"robots_body")))
+      // fatal fetch errors mark the whole domain inaccessible — no
+      // further scheduling into it (request_error,
+      // discovery/__init__.py:267-276; is_accessible_domain :39-40)
+      val fatals = for (err <- errors; d <- discovery) yield asContrib(
+        err.filter($"error".rlike(d.fatalErrorPattern))
+          .select(FrontierExprs.sld(url_host($"url")).as("domain"),
+            $"error".as("fatal_error")).distinct())
+      // cross-domain redirects of probe/home fetches feed BOTH domains'
+      // capped redirect netloc sets (_get_domain_after_redirects,
+      // discovery/__init__.py:478-507)
+      val redirs = redirectPairs.map { rp =>
+        val to = asContrib(rp.select(FrontierExprs.sld($"from_host").as("domain"),
+          array($"to_host").as("redirect_to")))
+        val from = asContrib(rp.select(FrontierExprs.sld($"to_host").as("domain"),
+          array($"from_host").as("redirect_from")))
+        to.unionByName(from)
       }
-      contribs.unpersist()
+      mergeDomainContribs(
+        (Seq(counts) ++ subs ++ robotsRows ++ fatals ++ redirs)
+          .reduce(_.unionByName(_)),
+        epochNo)
     }
 
     // metadata sink (S7): one record per fetched document per epoch;
