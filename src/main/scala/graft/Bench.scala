@@ -146,17 +146,29 @@ object Bench {
     val hotN = math.max(10000L, (sf * 4000000L).toLong) // sf0.1 → 400k URLs
 
     // ---- operator suite + full crawl pipeline at full parallelism ----
+    // Same noise discipline as the hot path (this VM has minutes-scale
+    // background noise): TWO interleaved passes — suite, crawl, suite,
+    // crawl — min per query / best crawl. A single contended pass once
+    // reported 4x the idle-box numbers (round-2 lesson).
     val spark32 = session(cpus)
     // warmup (JIT + codegen caches) with a tiny crawl
     crawl(spark32, hosts = 4, depth = 3, fanout = 4, mnrPerPartition = 512)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark32, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable =>
-        try fn(spark32, sfDir).count() catch { case _: Throwable => } }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val (cu, ct, cFail) = crawl(spark32, hosts, depth, fanout, 16384)
+    def suitePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark32, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable =>
+          try fn(spark32, sfDir).count() catch { case _: Throwable => } }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val pass1 = suitePass()
+    val crawl1 = crawl(spark32, hosts, depth, fanout, 16384)
+    val pass2 = suitePass()
+    val crawl2 = crawl(spark32, hosts, depth, fanout, 16384)
+    val queryTimes = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> math.min(a, b) }
+    val (cu, ct, _) = Seq(crawl1, crawl2).minBy(c => c._2 / math.max(c._1, 1L))
+    val cFail = crawl1._3 + crawl2._3 // failures from EITHER run count
     spark32.stop()
 
     // ---- get_next_requests hot path: same input, same TOTAL batch size

@@ -35,8 +35,53 @@ object BenchProbe {
     println(f"[kernel] urls/s @8=$r8%.0f @32=${math.max(r32, r32b)}%.0f eff=${math.max(r32, r32b) / r8 / 4}%.3f")
   }
 
+  /** Per-epoch cost probe of the full crawl pipeline (the
+    * q_frontier_crawl_dfs shape: 15 URLs over 15 epochs = pure fixed
+    * cost): seconds + Spark job count per epoch, so manifest flips /
+    * extra jobs are attributable. */
+  private def crawlProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled",
+        !sys.env.contains("GRAFT_PROBE_NO_AQE"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val verbose = sys.env.contains("GRAFT_PROBE_JOBS")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (verbose)
+          println(s"[job] ${js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ")}")
+      }
+    })
+    val root = java.nio.file.Files.createTempDirectory("graft-cprobe").toString
+    val frontier = new SparkFrontier(spark, root, partitions = 4,
+      stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true)
+    frontier.addSeeds(graft.local.Graphs.site01.seeds)
+    val crawler = new graft.spark.SparkCrawler(frontier,
+      graft.spark.GraphTables.webDF(spark, graft.local.Graphs.site01), 10)
+    var e = frontier.epoch
+    var continue = true
+    val tAll = System.nanoTime()
+    while (continue) {
+      val j0 = jobs.get()
+      val t0 = System.nanoTime()
+      continue = crawler.crawlOnce(e + 1)
+      if (continue) {
+        e += 1
+        println(f"[crawl] epoch$e%-3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${jobs.get() - j0}%3d jobs")
+      }
+    }
+    println(f"[crawl] TOTAL ${(System.nanoTime() - tAll) / 1e9}%6.2f s, ${crawler.urlsCrawled} urls, ${jobs.get()} jobs")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("kernel")) { kernelProbe(); return }
+    if (args.headOption.contains("crawl")) { crawlProbe(); return }
     val threads = args.headOption.map(_.toInt).getOrElse(32)
     val n = args.lift(1).map(_.toLong).getOrElse(400000L)
     val totalBatch = args.lift(2).map(_.toInt).getOrElse(262144)

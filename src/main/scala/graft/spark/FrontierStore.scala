@@ -142,12 +142,14 @@ final class BucketStore(val root: String, val bucketCol: String,
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      import org.apache.spark.sql.functions.{col, lit}
-      val df = spark.read.option("basePath", s"$root/data").parquet(paths: _*)
-      val present = df.columns.toSet
-      df.select(schema.fields.map(f =>
-        if (present(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)): _*)
+      import org.apache.spark.sql.functions.col
+      // explicit schema: skips the per-read parquet schema-inference job
+      // (a visible slice of the per-epoch fixed cost — each store read
+      // paid one), reads bucket/band values from the partition dirs, and
+      // fills fields absent from older files with typed nulls
+      spark.read.option("basePath", s"$root/data").schema(schema)
+        .parquet(paths: _*)
+        .select(schema.fieldNames.map(col(_)): _*)
     }
   }
 

@@ -911,9 +911,14 @@ final class SparkFrontier(
     // touch a few)
     var budgetDBuckets: Option[Set[Int]] = None
     val wantDB = discovery.exists(_.maxPagesPerDomain > 0)
+    val statesManifest = states.readManifest()
     val notSeenPersisted =
-      if (useBloom) {
-        val sm = states.readManifest()
+      if (statesManifest.bucketPaths.isEmpty)
+        // states empty (first epochs): nothing is seen — skip the probe
+        // job and the anti-join entirely (per-epoch fixed cost)
+        deduped
+      else if (useBloom) {
+        val sm = statesManifest
         val fresh = (0 until stateBuckets).filter(b => bloomFresh(sm, b)).toSet
         val bc = bloomSeen.broadcastFor(spark, fresh)
         val withB = deduped.withColumn("__sb", sbucketCol($"fingerprint"))
@@ -1077,17 +1082,23 @@ final class SparkFrontier(
     // marker rides in the states commit — the LAST store an epoch
     // touches — so only a fully-applied epoch gets the fast-path drop at
     // the top of this method. Provably-empty commits are skipped
-    // entirely (per-epoch fixed cost = manifest flips × footer walks).
-    if ((nScheduled > 0 || revisitIntervalEpochs.isDefined) &&
-        queue.readManifest().epoch < epochNo)
-      queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled))
+    // entirely (per-epoch fixed cost = manifest flips × footer walks),
+    // and the three independent side commits (queue / domain_metadata /
+    // metadata — separate stores, separate locks, all replay-guarded)
+    // run CONCURRENTLY; only the states commit must come after them all,
+    // because its jid marker asserts "epoch fully applied".
+    def commitQueue(): Unit =
+      if ((nScheduled > 0 || revisitIntervalEpochs.isDefined) &&
+          queue.readManifest().epoch < epochNo)
+        queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled))
 
     // domain_metadata merge (A4/J2/§2.7): per-domain queued_pages bump,
     // robots bodies fetched this epoch, capped subdomain set, fatal
     // errors, and redirect netloc sets — one MERGE INTO per epoch,
     // bucket-pruned
-    if ((discovery.isDefined || domainData.isDefined || redirectPairs.isDefined) &&
-        domainMeta.readManifest().epoch < epochNo) {
+    def commitDomainMeta(): Unit =
+      if ((discovery.isDefined || domainData.isDefined || redirectPairs.isDefined) &&
+          domainMeta.readManifest().epoch < epochNo) {
       val counts = asContrib(scheduled
         .groupBy(FrontierExprs.sld($"host").as("domain"))
         .agg(count(lit(1)).as("qp")))
@@ -1127,24 +1138,34 @@ final class SparkFrontier(
     // metadata sink (S7): one record per fetched document per epoch;
     // failed fetches record the error string as their status
     // (reference sqlalchemy models.py:28 `error` column)
-    val okMeta = pages.select($"fingerprint", $"url", $"depth", $"score")
-      .withColumn("fetched_epoch", lit(epochNo))
-      .withColumn("status", lit("200"))
-    val allMeta = errors match {
-      case Some(err) =>
-        okMeta.unionByName(
-          err.select($"fingerprint", $"url", $"depth", $"score",
-            coalesce($"error", lit("error")).as("status"))
-            .withColumn("fetched_epoch", lit(epochNo)))
-      case None => okMeta
-    }
-    if ((nCrawledStates > 0 || nErrorStates > 0) &&
-        metadata.readManifest().epoch < epochNo)
-      metadata.append(
-        allMeta
-          .withColumn("partition_id", host_partition(url_host($"url"), partitions))
-          .select(metadataSchema.fieldNames.map(col): _*),
-        epochNo)
+    def commitMetadata(): Unit =
+      if ((nCrawledStates > 0 || nErrorStates > 0) &&
+          metadata.readManifest().epoch < epochNo) {
+        val okMeta = pages.select($"fingerprint", $"url", $"depth", $"score")
+          .withColumn("fetched_epoch", lit(epochNo))
+          .withColumn("status", lit("200"))
+        val allMeta = errors match {
+          case Some(err) =>
+            okMeta.unionByName(
+              err.select($"fingerprint", $"url", $"depth", $"score",
+                coalesce($"error", lit("error")).as("status"))
+                .withColumn("fetched_epoch", lit(epochNo)))
+          case None => okMeta
+        }
+        metadata.append(
+          allMeta
+            .withColumn("partition_id", host_partition(url_host($"url"), partitions))
+            .select(metadataSchema.fieldNames.map(col): _*),
+          epochNo)
+      }
+
+    val commitErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val sideCommits = Seq(() => commitQueue(), () => commitDomainMeta(),
+      () => commitMetadata()).map(f => new Thread(() =>
+        try f() catch { case t: Throwable => commitErrs.add(t) }))
+    sideCommits.foreach(_.start())
+    sideCommits.foreach(_.join())
+    if (!commitErrs.isEmpty) throw commitErrs.peek()
 
     // states merge commit (replay-guarded like the other stores) — the
     // LAST commit of the epoch, so the jid marker rides in it for free:
