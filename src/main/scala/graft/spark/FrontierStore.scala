@@ -170,7 +170,7 @@ final class BucketStore(val root: String, val bucketCol: String,
     val bucketDirs = Files.list(commitDir).iterator.asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$bucketCol="))
       .toSeq
-    bucketDirs.flatMap { bp =>
+    val leafPaths: Seq[(Int, Path)] = bucketDirs.flatMap { bp =>
       val bucket = bp.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
       val leaves = bandCol match {
         case Some(bc) =>
@@ -179,11 +179,21 @@ final class BucketStore(val root: String, val bucketCol: String,
             .toSeq
         case None => Seq(bp)
       }
-      leaves.map { p =>
+      leaves.map(bucket -> _)
+    }
+    // footer walks are independent driver-side IO; done sequentially
+    // their cost scales with leaf count (buckets × touched bands) and
+    // was the dequeue commit's anti-scaling term at high partition
+    // counts — run them on a bounded pool instead
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = BucketStore.footerEc
+    Await.result(
+      Future.traverse(leafPaths) { case (bucket, p) => Future {
         val (rows, mx) = footerStats(p)
         LeafDir(bucket, s"$root/${rel(p)}", rows, mx)
-      }
-    }
+      }},
+      Duration.Inf)
   }
 
   private def footerStats(dir: Path): (Long, Option[Long]) = {
@@ -456,4 +466,10 @@ object BucketStore {
   private val heldRoots = new ThreadLocal[scala.collection.mutable.Set[String]] {
     override def initialValue() = scala.collection.mutable.Set.empty[String]
   }
+  /** bounded pool for the commit-time parquet footer walks (driver-side
+    * metadata IO, independent per leaf) */
+  private[spark] val footerEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(16,
+        r => { val t = new Thread(r, "graft-footer"); t.setDaemon(true); t }))
 }

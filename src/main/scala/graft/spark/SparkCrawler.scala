@@ -34,7 +34,12 @@ final class SparkCrawler(
       * the page keeps the dequeued url's identity, links come from the
       * landing page, and every chain member is marked CRAWLED so later
       * links to it never re-crawl */
-    redirects: Option[DataFrame] = None) {
+    redirects: Option[DataFrame] = None,
+    /** run store compaction (queue bands + states LSM fold + metadata)
+      * every N epochs, between epochs — the operational hook a
+      * long-running crawl needs so leaf counts stay bounded (Iceberg
+      * rewrite_data_files cadence). 0 = off. */
+    compactEveryEpochs: Int = 0) {
 
   private val spark: SparkSession = frontier.spark
   import spark.implicits._
@@ -169,6 +174,11 @@ final class SparkCrawler(
       domainData = domainData, aliasSeen = aliasSeen,
       redirectPairs = redirectPairs)
     batch.unpersist()
+    if (compactEveryEpochs > 0 && epochNo % compactEveryEpochs == 0) {
+      frontier.compactQueue()
+      frontier.compactStates()
+      frontier.compactMetadata()
+    }
     true
   }
 

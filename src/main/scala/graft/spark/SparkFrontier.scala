@@ -65,7 +65,13 @@ final case class DiscoveryConfig(
       * `fatal_error` — no further scheduling into it (reference
       * request_error, discovery/__init__.py:267-276: DNSLookupError is
       * the shipped fatal class) */
-    fatalErrorPattern: String = "DNSLookupError")
+    fatalErrorPattern: String = "DNSLookupError",
+    /** cap on sub-sitemap probes scheduled per parent response
+      * (MAX_SITEMAPS=100, discovery/__init__.py:21,359-362 — a sitemap
+      * index can enumerate unbounded sub-sitemaps; the reference
+      * random-samples, we keep the first N in extraction order for
+      * determinism). 0 = uncapped. */
+    maxSitemapsPerParent: Int = 100)
 
 /** Spark-native crawl frontier over bucketed snapshot tables.
   *
@@ -132,6 +138,14 @@ final class SparkFrontier(
       * filters; a transform that filters rows out drops them from the
       * chain, like a middleware returning None) */
     val linkTransforms: Seq[DataFrame => DataFrame] = Nil,
+    /** score bands per unit score in the queue's file layout (the T3
+      * rowkey interval resolution; 100 = the reference's 0.01 buckets,
+      * hbase/__init__.py:129-196). More bands = finer dequeue pruning
+      * (smaller scan prefix) but more leaf dirs; tune up for frontiers
+      * whose scores concentrate in a narrow range. The setting is
+      * sticky per store: a store opened with a different value has its
+      * files re-banded once, like the legacy band-less migration. */
+    val scoreBands: Int = 100,
     /** first-class DOMAINS_BLACKLIST (reference
       * settings/default_settings.py:42, checked at batch generation —
       * worker/components/batch_generator.py:97-109): dequeued rows whose
@@ -213,11 +227,17 @@ final class SparkFrontier(
   private def sbucketCol(fp: Column): Column =
     pmod(xxhash64(fp), lit(stateBuckets)).cast(IntegerType)
 
-  /** Score band at 0.01 resolution, clamped to [0,99] (score 1.0 joins
-    * the last band, like the reference's right-inclusive last interval).
-    * The queue pops lowest score first, so band 0 is the best band. */
+  /** Score band at 1/scoreBands resolution, clamped to
+    * [0, scoreBands-1] (score 1.0 joins the last band, like the
+    * reference's right-inclusive last interval). The queue pops lowest
+    * score first, so band 0 is the best band. */
   private def bandExpr: Column =
-    least(greatest(floor($"score" * 100).cast(IntegerType), lit(0)), lit(99))
+    least(greatest(floor($"score" * scoreBands).cast(IntegerType), lit(0)),
+      lit(scoreBands - 1))
+  /** sticky per-store banding marker (queue manifest props) */
+  private val bandsKey = "queue.scoreBands"
+  private def bandsProp: Map[String, String] =
+    Map(bandsKey -> scoreBands.toString)
   private def withBand(df: DataFrame): DataFrame =
     df.withColumn("band", bandExpr)
 
@@ -237,7 +257,8 @@ final class SparkFrontier(
       .withColumn("depth", lit(0))
       .withColumn("crawl_at", lit(0L))
       .select(queueSchema.fieldNames.map(col): _*)
-    queue.append(withBand(df), epoch, Map("seeds" -> seedUrls.length.toLong))
+    queue.append(withBand(df), epoch, Map("seeds" -> seedUrls.length.toLong),
+      props = bandsProp)
   }
 
   /** Discovery seed bootstrap (reference process_seeds,
@@ -262,7 +283,7 @@ final class SparkFrontier(
       .withColumn("crawl_at", lit(0L))
       .select(queueSchema.fieldNames.map(col): _*)
     queue.append(withBand(df), epoch,
-      Map("robots_probes" -> probes.length.toLong))
+      Map("robots_probes" -> probes.length.toLong), props = bandsProp)
   }
 
   /** Seed injection from a DataFrame with a `url` column (streaming /
@@ -284,7 +305,7 @@ final class SparkFrontier(
       .select((queueSchema.fieldNames.map(col) :+ sbucketCol($"fingerprint").as("sbucket")): _*)
       .cache()
     queue.append(withBand(fresh.select(queueSchema.fieldNames.map(col): _*)),
-      epoch, props = props)
+      epoch, props = props ++ bandsProp)
     val updates = fresh
       .select($"fingerprint", lit(graft.local.States.Queued).as("state"), $"sbucket")
       .select(statesSchema.fieldNames.map(col): _*)
@@ -513,7 +534,7 @@ final class SparkFrontier(
       .withColumn("created_at", pmod(xxhash64(col("url")), lit(1L << 40)))
       .withColumn("crawl_at", lit(0L))
       .select(queueSchema.fieldNames.map(col): _*)
-    queue.append(withBand(rows), epoch)
+    queue.append(withBand(rows), epoch, props = bandsProp)
   }
 
   /** Dequeue scan statistics of the last nextBatch (for tests and
@@ -544,13 +565,20 @@ final class SparkFrontier(
     var m = queue.readManifest()
     // legacy (pre-banded) queue paths have no band= level and can't be
     // band-pruned or band-rewritten — migrate them into the banded
-    // layout once (a store written by an older build resumes losslessly)
+    // layout once (a store written by an older build resumes losslessly).
+    // Likewise, a store written under a DIFFERENT scoreBands setting:
+    // its band ids map to different score ranges, so the prefix planner
+    // would prune wrongly — re-band everything once
+    val rebandAll =
+      m.props.get(bandsKey).map(_.toInt).getOrElse(100) != scoreBands &&
+        m.bucketPaths.nonEmpty
     val legacyPaths = m.bucketPaths.valuesIterator.flatten
-      .filter(p => queue.bandOf(p) < 0).toSet
+      .filter(p => rebandAll || queue.bandOf(p) < 0).toSet
     if (legacyPaths.nonEmpty) {
       queue.replacePaths(withBand(queue.readPaths(spark, legacyPaths.toSeq)),
         m.epoch, legacyPaths,
-        counters = Map("migrated_legacy_paths" -> legacyPaths.size.toLong))
+        counters = Map("migrated_legacy_paths" -> legacyPaths.size.toLong),
+        props = bandsProp)
       m = queue.readManifest()
     }
     // A7: busy partitions (in-flight lag >= budget) produce no batch
@@ -959,8 +987,23 @@ final class SparkFrontier(
       case Some(es) => pageStates.select($"fingerprint").union(es.select($"fingerprint"))
       case None => pageStates.select($"fingerprint")
     }
-    val fresh = notSeenPersisted.join(
+    val fresh0 = notSeenPersisted.join(
       broadcast(seenThisBatch), Seq("fingerprint"), "left_anti")
+    // MAX_SITEMAPS guard (discovery/__init__.py:21,359-362): a sitemap
+    // index can enumerate unbounded sub-sitemaps — cap probe links per
+    // parent response (first N by extraction order; the reference
+    // random-samples the same cap)
+    val fresh = discovery match {
+      case Some(d) if d.maxSitemapsPerParent > 0 =>
+        val isProbeLink = parentIsProbe && isProbeUrl($"link_url")
+        val w = Window.partitionBy($"parent_url")
+          .orderBy($"link_idx".asc, $"link_url".asc)
+        fresh0.filter(isProbeLink)
+          .withColumn("__sm", row_number().over(w))
+          .filter($"__sm" <= d.maxSitemapsPerParent).drop("__sm")
+          .unionByName(fresh0.filter(!isProbeLink))
+      case _ => fresh0
+    }
 
     // deterministic created_at = schedule order. Conformance mode uses a
     // global dense rank (single-partition window — fine for oracle runs);
@@ -1090,7 +1133,8 @@ final class SparkFrontier(
     def commitQueue(): Unit =
       if ((nScheduled > 0 || revisitIntervalEpochs.isDefined) &&
           queue.readManifest().epoch < epochNo)
-        queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled))
+        queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled),
+          props = bandsProp)
 
     // domain_metadata merge (A4/J2/§2.7): per-domain queued_pages bump,
     // robots bodies fetched this epoch, capped subdomain set, fatal

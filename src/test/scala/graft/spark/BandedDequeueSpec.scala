@@ -148,6 +148,44 @@ class BandedDequeueSpec extends AnyFunSuite {
       "all paths banded after migration")
   }
 
+  test("scoreBands knob: a store opened under different banding re-bands once, loses nothing") {
+    val root = Files.createTempDirectory("graft-reband").toString
+    val f100 = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = false, useBloom = false)
+    f100.bulkSchedule(spark.range(300).select(
+      concat(lit("http://rb"), $"id" % 12, lit(".com/p/"), $"id").as("url"),
+      (($"id" % 100).cast("double") / 100.0).as("score"), lit(0).as("depth")))
+
+    // reopen at 20 bands: first dequeue re-bands the whole store once
+    val f20 = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = false, useBloom = false,
+      scoreBands = 20)
+    var drained = Vector.empty[(Double, String)]
+    var continue = true
+    while (continue) {
+      val b = f20.nextBatch(10).select($"score", $"url").as[(Double, String)].collect()
+      if (b.isEmpty) continue = false else drained ++= b
+    }
+    assert(drained.length == 300 && drained.map(_._2).distinct.size == 300,
+      s"re-banding must not lose or duplicate rows: ${drained.length}")
+    val m = f20.queue.readManifest()
+    assert(m.props.get("queue.scoreBands").contains("20"), m.props.toString)
+    // a THIRD open at the same 20 bands must not re-migrate
+    val f20b = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = false, useBloom = false,
+      scoreBands = 20)
+    f20b.bulkSchedule(spark.range(5).select(
+      concat(lit("http://rb0.com/q/"), $"id").as("url"),
+      lit(0.31).as("score"), lit(0).as("depth")))
+    assert(f20b.nextBatch(5).count() == 5)
+    val m2 = f20b.queue.readManifest()
+    assert(m2.bucketPaths.valuesIterator.flatten
+      .forall(p => f20b.queue.bandOf(p) >= 0 && f20b.queue.bandOf(p) < 20),
+      "all paths banded within [0, 20) after migration")
+    assert(m2.counters.get("migrated_legacy_paths").isEmpty,
+      "same-banding reopen must not migrate again")
+  }
+
   test("A3 deepening: capped hot host does not starve the batch (min_hosts diversity)") {
     val f = freshFrontier(maxPerHost = 2)
     // band 0: 60 rows, ALL on one hot host (cap 2) — a shallow scan sees

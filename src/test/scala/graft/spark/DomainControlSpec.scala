@@ -115,6 +115,31 @@ class DomainControlSpec extends AnyFunSuite {
     assert(f.queueSize() == 95)
   }
 
+  test("MAX_SITEMAPS: sub-sitemap probes per parent capped, ordinary links unaffected") {
+    val root = Files.createTempDirectory("graft-maxsm").toString
+    val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = true,
+      discovery = Some(DiscoveryConfig(maxPagesPerDomain = 1000,
+        sameDomainOnly = false, justifyScores = false,
+        maxSitemapsPerParent = 100)))
+    // a sitemap INDEX response that enumerates 150 sub-sitemaps + 5 pages
+    val links = ((0 until 150).map(i => s"http://s.com/sitemap$i.xml") ++
+      (0 until 5).map(i => s"http://s.com/p/$i")).zipWithIndex
+      .map { case (u, i) => (0.9, 1L, 0, i, u, "http://s.com/sitemap.xml") }
+      .toSeq.toDF("parent_score", "parent_created", "parent_depth",
+        "link_idx", "link_url", "parent_url")
+    val pages = Seq(("fp-sm", "http://s.com/sitemap.xml", 0, 0.9, 1L))
+      .toDF("fingerprint", "url", "depth", "score", "created_at")
+    f.processCrawled(pages, links, 1)
+    val q = f.queue.read(spark).select($"url").as[String].collect()
+    assert(q.count(_.contains("sitemap")) == 100,
+      s"sub-sitemap probes must cap at 100: ${q.count(_.contains("sitemap"))}")
+    // deterministic: the FIRST 100 in extraction order survive
+    assert(q.contains("http://s.com/sitemap0.xml") &&
+      !q.contains("http://s.com/sitemap149.xml"))
+    assert(q.count(_.contains("/p/")) == 5, "ordinary links unaffected by the cap")
+  }
+
   test("cross-domain probe/home redirects feed capped redirect_from/redirect_to sets") {
     val root = Files.createTempDirectory("graft-rdom").toString
     val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,

@@ -102,6 +102,27 @@ class StatesDeltaSpec extends AnyFunSuite {
       "seen url must not re-schedule after compaction (bloom still exact)")
   }
 
+  test("crawler auto-compaction is invisible to correctness and bounds file counts") {
+    def crawlSite02(compactEvery: Int): (List[String], Map[String, Int], Int) = {
+      val root = Files.createTempDirectory(s"lsm-auto$compactEvery").toString
+      val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+        strategy = ScoreStrategy.DFS, globalOrder = true, useBloom = true)
+      f.addSeeds(Graphs.site02.seeds)
+      val c = new SparkCrawler(f, GraphTables.webDF(spark, Graphs.site02), 2,
+        compactEveryEpochs = compactEvery)
+      c.run(maxEpochs = 50) // mnr=2 over 30 URLs -> ~15 delta epochs
+      val maxStateFiles = f.states.readManifest()
+        .bucketPaths.values.map(_.size).maxOption.getOrElse(0)
+      (c.sequence.flatten.toList, f.stateSnapshot(), maxStateFiles)
+    }
+    val (seqA, statesA, filesA) = crawlSite02(compactEvery = 0)
+    val (seqB, statesB, filesB) = crawlSite02(compactEvery = 3)
+    assert(seqA == seqB, "compaction mid-crawl must not change the crawl order")
+    assert(statesA == statesB, "compaction mid-crawl must not change the states")
+    assert(filesB < filesA,
+      s"auto-compaction must bound the states delta log: $filesB !< $filesA")
+  }
+
   test("legacy manifest without bucket versions is STALE, not vacuously fresh") {
     // reproduce the ADVICE scenario: a states store with committed data
     // whose manifest predates `bucketv` AND whose sidecars are absent —
