@@ -88,15 +88,22 @@ object Bench {
     * of `n` URLs over `hosts` hosts; dequeue + fetch-verify until drained.
     * Prefill excluded from the timed window. Also reports the band-scan
     * fraction of the first dequeue (files read / files in the queue) —
-    * the O(batch)-not-O(queue) evidence. */
+    * the O(batch)-not-O(queue) evidence.
+    *
+    * `storeParts` fixes the store's bucket count INDEPENDENTLY of the
+    * session's thread count: a real N→4N executor resize reads the same
+    * partitioned store with more workers — the store layout is a data
+    * property (the reference's SPIDER_FEED_PARTITIONS config), not a
+    * function of executor count. Building a differently-bucketed store
+    * per level would compare different workloads. */
   private def hotPath(spark: SparkSession, n: Long, hosts: Int,
-      mnrPerPartition: Int): (Long, Double, Long, Double) = {
+      mnrPerPartition: Int, storeParts: Int): (Long, Double, Long, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-hot").toString
     val frontier = new SparkFrontier(spark, root,
-      partitions = spark.sparkContext.defaultParallelism,
-      stateBuckets = spark.sparkContext.defaultParallelism,
+      partitions = storeParts,
+      stateBuckets = storeParts,
       strategy = ScoreStrategy.BFS, globalOrder = false)
     frontier.bulkSchedule(spark.range(n).select(
       concat(lit("http://host"), $"id" % hosts, lit(".example/p/"), $"id").as("url"),
@@ -205,7 +212,9 @@ object Bench {
     (1 to 3).foreach { _ =>
       for (level <- levels) {
         val s = session(level)
-        val (u, t, fh, sfr) = hotPath(s, hotN, hosts, totalBatch / level)
+        // same store layout + same per-partition budget (= same TOTAL
+        // batch) at every level — only the worker count varies
+        val (u, t, fh, sfr) = hotPath(s, hotN, hosts, totalBatch / cpus, cpus)
         s.stop()
         if (t < best(level)._2) best(level) = (u, t)
         // report the first-epoch scan fraction of the GRADED level only

@@ -85,6 +85,7 @@ object BenchProbe {
     val threads = args.headOption.map(_.toInt).getOrElse(32)
     val n = args.lift(1).map(_.toLong).getOrElse(400000L)
     val totalBatch = args.lift(2).map(_.toInt).getOrElse(262144)
+    val storeParts = args.lift(3).map(_.toInt).getOrElse(threads)
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
@@ -95,8 +96,8 @@ object BenchProbe {
     import spark.implicits._
 
     val root = java.nio.file.Files.createTempDirectory("graft-probe").toString
-    val frontier = new SparkFrontier(spark, root, partitions = threads,
-      stateBuckets = threads, strategy = ScoreStrategy.BFS, globalOrder = false)
+    val frontier = new SparkFrontier(spark, root, partitions = storeParts,
+      stateBuckets = storeParts, strategy = ScoreStrategy.BFS, globalOrder = false)
     var t0 = System.nanoTime()
     frontier.bulkSchedule(spark.range(n).select(
       concat(lit("http://host"), $"id" % 600, lit(".example/p/"), $"id").as("url"),
@@ -108,13 +109,15 @@ object BenchProbe {
       t0 = t1
     }
     lap("prefill")
+    println(s"[probe] raw full-queue rows = ${frontier.queue.read(spark).count()}")
+    lap("raw read+count (all files)")
     var continue = true
     var epochN = 0
     while (continue) {
       epochN += 1
-      val batch = frontier.nextBatch(totalBatch / threads)
+      val batch = frontier.nextBatch(totalBatch / storeParts)
       val cnt0 = batch.count()
-      lap(s"epoch$epochN dequeue+count (scan ${frontier.lastScan.scannedPaths}/${frontier.lastScan.totalPaths})")
+      lap(f"epoch$epochN dequeue+count (scan ${frontier.lastScan.scannedPaths}/${frontier.lastScan.totalPaths}, scanSec=${frontier.lastScan.scanSec}%.2f rewriteSec=${frontier.lastScan.rewriteSec}%.2f)")
       if (cnt0 == 0) continue = false
       else {
         println(s"[probe] batch partitions = ${batch.rdd.getNumPartitions}")

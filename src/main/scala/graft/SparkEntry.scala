@@ -35,10 +35,43 @@ object SparkEntry {
     crawler.run().zipWithIndex.toDF("url", "crawl_pos")
   }
 
+  /** Discovery bootstrap as an end-to-end engine query (reference
+    * strategy/discovery protocol): seed → robots probe (0.9) → sitemap
+    * probes (0.9) + home page (0.8) → same-domain, robots-denied,
+    * budget-capped links (0.8/0.5), dequeued highest-first
+    * (ScoreCreatedDesc) with crc32-justified scores — fully
+    * deterministic, so the crawl order is pinned as a VALUES oracle. */
+  private def qFrontierDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.spark.DiscoveryConfig
+    val root = java.nio.file.Files.createTempDirectory("graft-disc").toString
+    val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.Basic, globalOrder = true,
+      ordering = graft.local.QueueOrdering.ScoreCreatedDesc,
+      discovery = Some(DiscoveryConfig(maxPagesPerDomain = 100,
+        sameDomainOnly = true, justifyScores = true)))
+    val robotsBody =
+      "User-agent: *\nDisallow: /private\nSitemap: http://www.x.com/sitemap.xml\n"
+    val sitemapBody =
+      "<urlset><url><loc>http://www.x.com/c</loc></url>" +
+        "<url><loc>http://www.x.com/d</loc></url></urlset>"
+    val bodies = Seq(
+      ("http://www.x.com/robots.txt", robotsBody),
+      ("http://www.x.com/sitemap.xml", sitemapBody)).toDF("url", "body")
+    val web = Seq(
+      ("http://www.x.com/", Seq("http://www.x.com/a", "http://www.x.com/private/1",
+        "http://www.x.com/b", "http://other.com/x"))).toDF("url", "outlinks")
+    f.addSeedsDiscovery(Seq("http://www.x.com/somewhere"))
+    val c = new SparkCrawler(f, web, 100, bodies = Some(bodies))
+    c.run(maxEpochs = 20).zipWithIndex.toDF("url", "crawl_pos")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.ops.PipelineOps.queries + ("q_frontier_crawl_dfs" -> (qFrontierCrawl _))
+    graft.ops.PipelineOps.queries +
+      ("q_frontier_crawl_dfs" -> (qFrontierCrawl _)) +
+      ("q_frontier_discovery" -> (qFrontierDiscovery _))
 
   /** The expected DFS crawl order of SITE_01 at max_next_requests=10
     * under the (score ASC, created_at ASC) queue ordering — the
@@ -55,10 +88,27 @@ object SparkEntry {
       .map { case (u, i) => s"('$u', $i)" }
       .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(url, crawl_pos)")
 
+  /** The expected discovery-bootstrap crawl order: robots probe (0.9) →
+    * sitemap probe (0.9, outranks home) → home page (0.8) → sitemap
+    * <loc>s → home links, same-domain only, /private robots-denied,
+    * dequeued highest-score-first. Pinned from the protocol semantics
+    * (reference _process_robots_txt / _process_sitemap / _process_links
+    * ordering under ScoreCreatedDesc). */
+  private val discoverySequence: Seq[String] = Seq(
+    "http://www.x.com/robots.txt", "http://www.x.com/sitemap.xml",
+    "http://www.x.com/", "http://www.x.com/c", "http://www.x.com/d",
+    "http://www.x.com/a", "http://www.x.com/b")
+
+  private val qFrontierDiscoverySql: String =
+    discoverySequence.zipWithIndex
+      .map { case (u, i) => s"('$u', $i)" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(url, crawl_pos)")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (the frontier crawl's oracle is its pinned
     * reference sequence as an inline VALUES table). */
   def oracleSql: Map[String, String] =
     graft.ops.PipelineOps.oracleSql +
-      ("q_frontier_crawl_dfs" -> qFrontierCrawlSql)
+      ("q_frontier_crawl_dfs" -> qFrontierCrawlSql) +
+      ("q_frontier_discovery" -> qFrontierDiscoverySql)
 }

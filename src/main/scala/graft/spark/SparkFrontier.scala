@@ -538,8 +538,10 @@ final class SparkFrontier(
   }
 
   /** Dequeue scan statistics of the last nextBatch (for tests and
-    * lineage): files read vs files in the queue, deepening tries. */
-  final case class ScanStats(scannedPaths: Int, totalPaths: Int, tries: Int)
+    * lineage): files read vs files in the queue, deepening tries, and
+    * phase wall-times (scan+rank+select vs rewrite commit). */
+  final case class ScanStats(scannedPaths: Int, totalPaths: Int, tries: Int,
+      scanSec: Double = 0.0, rewriteSec: Double = 0.0)
   @volatile var lastScan: ScanStats = ScanStats(0, 0, 0)
 
   /** Dequeue one batch: the reference get_next_requests hot path
@@ -560,6 +562,7 @@ final class SparkFrontier(
     * GET_RETRIES) while a bucket's batch has fewer distinct hosts. */
   def nextBatch(maxNextRequests: Int, atEpoch: Long = -1L,
       minHosts: Int = 0): DataFrame = {
+    val tStart = System.nanoTime()
     // crawl_at visibility (delayed revisit): invisible rows stay queued
     val nowEpoch = if (atEpoch >= 0) atEpoch else epoch
     var m = queue.readManifest()
@@ -747,10 +750,6 @@ final class SparkFrontier(
         }
       }
     }
-    lastScan = ScanStats(
-      prefix.valuesIterator.map(_.iterator.map(_._2.size).sum).sum,
-      totalPaths, tries)
-
     val batch = tagged.filter($"__sel")
       .select(queueSchema.fieldNames.map(col): _*).cache()
 
@@ -774,6 +773,7 @@ final class SparkFrontier(
     val batchCounts = batchGroups.map { case (b, band, n) => (b, band) -> n }.toMap
     val touchedGroups = (batchGroups.map(t => (t._1, t._2)) ++ blGroups).distinct
       .map { case (b, band) => (b, band, batchCounts.getOrElse((b, band), 0L)) }
+    val tRewrite0 = System.nanoTime()
     if (touchedGroups.nonEmpty) {
       val touchedKeys = touchedGroups.map { case (b, band, _) => s"${b}_$band" }.toSet
       val removePaths = touchedGroups.flatMap { case (b, band, _) =>
@@ -795,6 +795,12 @@ final class SparkFrontier(
         props = fcProps)
     }
     tagged.unpersist()
+    val tEnd = System.nanoTime()
+    lastScan = ScanStats(
+      prefix.valuesIterator.map(_.iterator.map(_._2.size).sum).sum,
+      totalPaths, tries,
+      scanSec = (tRewrite0 - tStart) / 1e9,
+      rewriteSec = (tEnd - tRewrite0) / 1e9)
     batch
   }
 
