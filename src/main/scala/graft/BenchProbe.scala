@@ -66,13 +66,17 @@ object BenchProbe {
     var e = frontier.epoch
     var continue = true
     val tAll = System.nanoTime()
+    def versions(): Seq[Long] = Seq(frontier.queue, frontier.states,
+      frontier.metadata, frontier.domainMeta).map(_.currentVersion)
     while (continue) {
       val j0 = jobs.get()
+      val v0 = versions()
       val t0 = System.nanoTime()
       continue = crawler.crawlOnce(e + 1)
       if (continue) {
         e += 1
-        println(f"[crawl] epoch$e%-3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${jobs.get() - j0}%3d jobs")
+        val commits = versions().zip(v0).map { case (a, b) => a - b }.sum
+        println(f"[crawl] epoch$e%-3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${jobs.get() - j0}%3d jobs  $commits%2d manifest commits")
       }
     }
     println(f"[crawl] TOTAL ${(System.nanoTime() - tAll) / 1e9}%6.2f s, ${crawler.urlsCrawled} urls, ${jobs.get()} jobs")

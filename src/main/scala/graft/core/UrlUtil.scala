@@ -96,6 +96,27 @@ object UrlUtil {
     * (reference frontera/core/__init__.py:10-25, key_type="domain"). */
   def slotKey(url: String): String = urlparse(url).hostname.getOrElse("")
 
+  /** get_slot_key with key_type="ip" (reference core/__init__.py:20-24:
+    * first `getaddrinfo(host, 80)` result). Network lookups don't belong
+    * inside a deterministic distributed operator, so the resolver is
+    * INJECTED: pass `java.net.InetAddress.getByName(_).getHostAddress`
+    * (with an executor-side cache) for real DNS, or any deterministic
+    * stub for tests/offline runs. Hosts the resolver throws on keep the
+    * hostname key, like the reference's fallthrough. */
+  def slotKeyIp(url: String, resolve: String => String): String = {
+    val host = slotKey(url)
+    try { val ip = resolve(host); if (ip != null && ip.nonEmpty) ip else host }
+    catch { case _: Exception => host }
+  }
+
+  /** Deterministic offline resolver stub: a stable fake IPv4 derived
+    * from the hostname hash — same shape as real resolution (distinct
+    * hosts on one IP collide into one politeness slot), no network. */
+  def fakeResolver(host: String): String = {
+    val h = Hashing.signedCrc32(host) & 0xffffffffL
+    s"10.${(h >> 16) & 0xff}.${(h >> 8) & 0xff}.${h & 0xff}"
+  }
+
   // ---- discovery-strategy helpers (strategy/discovery/__init__.py) ----
 
   /** Multi-part public suffixes we special-case (PSL-lite: the reference

@@ -76,4 +76,21 @@ class HashingSpec extends AnyFunSuite {
     assert(UrlUtil.slotKey("http://b.com/entries?page=2") == "b.com")
     assert(UrlUtil.slotKey("http://User@WWW.A.com:8080/x") == "www.a.com")
   }
+
+  test("get_slot_key ip mode: injected resolver, hostname fallthrough, stable stub") {
+    // injected resolver result becomes the slot key
+    assert(UrlUtil.slotKeyIp("http://a.com/x", _ => "93.184.216.34") == "93.184.216.34")
+    // resolver failure keeps the hostname key (the reference's behavior
+    // when getaddrinfo yields nothing usable)
+    assert(UrlUtil.slotKeyIp("http://a.com/x",
+      _ => throw new RuntimeException("nxdomain")) == "a.com")
+    // the offline stub is deterministic and IPv4-shaped
+    val ip = UrlUtil.fakeResolver("a.com")
+    assert(ip == UrlUtil.fakeResolver("a.com"))
+    assert(ip.matches("10\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"))
+    assert(UrlUtil.slotKeyIp("http://a.com/x", UrlUtil.fakeResolver) == ip)
+    // two hosts resolving to one IP collapse into one politeness slot
+    assert(UrlUtil.slotKeyIp("http://x1.com/", _ => "1.2.3.4") ==
+      UrlUtil.slotKeyIp("http://x2.com/", _ => "1.2.3.4"))
+  }
 }
