@@ -35,14 +35,16 @@ object BenchProbe {
     println(f"[kernel] urls/s @8=$r8%.0f @32=${math.max(r32, r32b)}%.0f eff=${math.max(r32, r32b) / r8 / 4}%.3f")
   }
 
-  /** Per-epoch cost probe of the full crawl pipeline (the
-    * q_frontier_crawl_dfs shape: 15 URLs over 15 epochs = pure fixed
-    * cost): seconds + Spark job count per epoch, so manifest flips /
-    * extra jobs are attributable. */
-  private def crawlProbe(): Unit = {
+  /** Per-epoch cost probe of the full crawl pipeline. Default = the
+    * q_frontier_crawl_dfs shape (15 URLs over 15 epochs = pure fixed
+    * cost); `crawl big [threads]` = the bench pipeline shape (600-host
+    * benchGraph, payload verify on) so the at-scale epoch phases are
+    * attributable. Prints seconds + Spark job count + manifest commits
+    * per epoch. */
+  private def crawlProbe(big: Boolean, threads: Int): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads * 3)
       .config("spark.sql.adaptive.enabled",
         !sys.env.contains("GRAFT_PROBE_NO_AQE"))
       .config("spark.ui.enabled", "false")
@@ -58,11 +60,23 @@ object BenchProbe {
       }
     })
     val root = java.nio.file.Files.createTempDirectory("graft-cprobe").toString
-    val frontier = new SparkFrontier(spark, root, partitions = 4,
-      stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true)
-    frontier.addSeeds(graft.local.Graphs.site01.seeds)
-    val crawler = new graft.spark.SparkCrawler(frontier,
-      graft.spark.GraphTables.webDF(spark, graft.local.Graphs.site01), 10)
+    val graph =
+      if (big) graft.local.Graphs.benchGraph(600, 4, 8)
+      else graft.local.Graphs.site01
+    val frontier =
+      if (big) new SparkFrontier(spark, root,
+        partitions = spark.sparkContext.defaultParallelism,
+        stateBuckets = spark.sparkContext.defaultParallelism,
+        strategy = ScoreStrategy.BFS, globalOrder = false)
+      else new SparkFrontier(spark, root, partitions = 4,
+        stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true)
+    val web = graft.spark.GraphTables.webDF(spark, graph).cache()
+    web.count()
+    frontier.addSeeds(graph.seeds)
+    val crawler =
+      if (big) new graft.spark.SparkCrawler(frontier, web, 16384,
+        collectSequence = false, verifyPayloadOnFetch = true)
+      else new graft.spark.SparkCrawler(frontier, web, 10)
     var e = frontier.epoch
     var continue = true
     val tAll = System.nanoTime()
@@ -76,7 +90,7 @@ object BenchProbe {
       if (continue) {
         e += 1
         val commits = versions().zip(v0).map { case (a, b) => a - b }.sum
-        println(f"[crawl] epoch$e%-3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${jobs.get() - j0}%3d jobs  $commits%2d manifest commits")
+        println(f"[crawl] epoch$e%-3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${jobs.get() - j0}%3d jobs  $commits%2d manifest commits  (dequeue scan=${frontier.lastScan.scanSec}%.2f rewrite=${frontier.lastScan.rewriteSec}%.2f, ${crawler.urlsCrawled} urls so far)")
       }
     }
     println(f"[crawl] TOTAL ${(System.nanoTime() - tAll) / 1e9}%6.2f s, ${crawler.urlsCrawled} urls, ${jobs.get()} jobs")
@@ -85,7 +99,12 @@ object BenchProbe {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("kernel")) { kernelProbe(); return }
-    if (args.headOption.contains("crawl")) { crawlProbe(); return }
+    if (args.headOption.contains("crawl")) {
+      crawlProbe(big = args.lift(1).contains("big"),
+        threads = args.lift(2).map(_.toInt).getOrElse(
+          if (args.lift(1).contains("big")) 32 else 4))
+      return
+    }
     val threads = args.headOption.map(_.toInt).getOrElse(32)
     val n = args.lift(1).map(_.toLong).getOrElse(400000L)
     val totalBatch = args.lift(2).map(_.toInt).getOrElse(262144)

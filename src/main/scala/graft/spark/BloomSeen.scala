@@ -95,12 +95,21 @@ final class BloomSeen(root: String, fpp: Double = 0.01,
     }
   }
 
+  /** Build the epoch's delta blooms (one Spark job over the update
+    * keys) WITHOUT persisting — lets the caller run the build
+    * concurrently with other epoch commits and apply it later under the
+    * states commit lock. */
+  def buildDeltas(updatesDf: DataFrame): Map[Int, BloomFilter] =
+    buildPerBucket(updatesDf)
+
   /** Incremental update: build delta blooms over just the epoch's new
-    * keys and merge them into the loaded sidecars (or a fresh empty
-    * bloom for first-touch buckets). Cost = O(update), not O(bucket). */
-  def mergeUpdates(updatesDf: DataFrame, buckets: Set[Int], version: Long): Unit = {
+    * keys (or take them prebuilt) and merge them into the loaded
+    * sidecars (or a fresh empty bloom for first-touch buckets).
+    * Cost = O(update), not O(bucket). */
+  def mergeUpdates(updatesDf: DataFrame, buckets: Set[Int], version: Long,
+      prebuilt: Option[Map[Int, BloomFilter]] = None): Unit = {
     if (buckets.isEmpty) return
-    val deltas = buildPerBucket(updatesDf)
+    val deltas = prebuilt.getOrElse(buildPerBucket(updatesDf))
     buckets.foreach { b =>
       val base = load(b).getOrElse(BloomFilter.create(expectedPerBucket, fpp))
       deltas.get(b).foreach(base.mergeInPlace)

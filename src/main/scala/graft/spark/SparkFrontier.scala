@@ -348,7 +348,11 @@ final class SparkFrontier(
     * snapshot and append, nor race the sidecar load-merge-persist. */
   private def mergeStateUpdates(updates: DataFrame, touched: Set[Int],
       epochNo: Long, counters: Map[String, Long],
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      /** delta blooms prebuilt from `updates` (lets the epoch loop run
+        * the build job concurrently with its other store commits) */
+      prebuiltDeltas: Option[Map[Int, org.apache.spark.util.sketch.BloomFilter]] = None)
+      : Unit = {
     if (touched.isEmpty) return
     states.withTableLock {
       // sidecar base-freshness is judged against the PRE-append manifest:
@@ -361,11 +365,13 @@ final class SparkFrontier(
         val newV = states.currentVersion
         // incremental merge of the update keys into fresh sidecars —
         // cost O(update); only buckets with an absent/stale sidecar pay
-        // a full rebuild
+        // a full rebuild. A prebuilt delta map may cover MORE buckets
+        // than freshB (built for all touched) — only freshB are merged
         val freshB = touched.filter(b => bloomFresh(pre, b))
         val staleB = touched -- freshB
         bloomSeen.mergeUpdates(
-          updates.filter($"sbucket".isInCollection(freshB)), freshB, newV)
+          updates.filter($"sbucket".isInCollection(freshB)), freshB, newV,
+          prebuilt = prebuiltDeltas)
         if (staleB.nonEmpty)
           bloomSeen.rebuild(states.readBuckets(spark, Some(staleB)), staleB, newV)
       }
@@ -973,7 +979,15 @@ final class SparkFrontier(
               .as[(Seq[Int], Seq[Int])].first()
             budgetDBuckets = Some(db.toSet)
             mb.toSet
-          } else
+          } else if (stateBuckets <= spark.sparkContext.defaultParallelism * 2)
+            // small store: every bucket holds candidates most epochs, so
+            // the bucket-pruning collect saves no read — skip the
+            // planning job (per-epoch fixed cost); the bloom probe still
+            // prunes the join's ROWS, which is where the win is. At
+            // 1024-bucket scale the collect prunes ~all buckets and pays
+            // for itself
+            (0 until stateBuckets).toSet
+          else
             probed.filter($"__maybe").select($"__sb")
               .distinct().as[Int].collect().toSet
         val definiteNew = probed.filter(!$"__maybe").drop("__sb", "__maybe")
@@ -1210,9 +1224,19 @@ final class SparkFrontier(
       }
 
     val commitErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val sideCommits = Seq(() => commitQueue(), () => commitDomainMeta(),
-      () => commitMetadata()).map(f => new Thread(() =>
-        try f() catch { case t: Throwable => commitErrs.add(t) }))
+    val willMergeStates = touched.nonEmpty && states.readManifest().epoch < epochNo
+    // the bloom delta BUILD (a Spark job over the cached updates, no
+    // commit) also runs in the parallel window; only the persist happens
+    // under the states lock later
+    @volatile var prebuiltDeltas
+      : Option[Map[Int, org.apache.spark.util.sketch.BloomFilter]] = None
+    val parallelWork: Seq[() => Unit] =
+      Seq(() => commitQueue(), () => commitDomainMeta(), () => commitMetadata()) ++
+        (if (useBloom && willMergeStates)
+          Seq(() => { prebuiltDeltas = Some(bloomSeen.buildDeltas(updates)) })
+        else Nil)
+    val sideCommits = parallelWork.map(f => new Thread(() =>
+      try f() catch { case t: Throwable => commitErrs.add(t) }))
     sideCommits.foreach(_.start())
     sideCommits.foreach(_.join())
     if (!commitErrs.isEmpty) throw commitErrs.peek()
@@ -1221,11 +1245,12 @@ final class SparkFrontier(
     // LAST commit of the epoch, so the jid marker rides in it for free:
     // "marker set" still implies "epoch fully applied" with no extra
     // manifest flip, and a crash anywhere earlier leaves it unset
-    if (touched.nonEmpty && states.readManifest().epoch < epochNo) {
+    if (willMergeStates) {
       val nCrawled = if (nPages >= 0) nPages else pages.count()
       mergeStateUpdates(updates, touched, epochNo,
         Map("crawled" -> nCrawled, "queued" -> nScheduled),
-        props = Map(jidKey -> epochNo.toString))
+        props = Map(jidKey -> epochNo.toString),
+        prebuiltDeltas = prebuiltDeltas)
     }
 
     // A7 only: release the in-flight gauge in one final queue-manifest
