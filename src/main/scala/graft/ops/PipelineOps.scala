@@ -536,6 +536,63 @@ object PipelineOps {
     s"""SELECT CAST($lshSigDuck AS INT) AS bucket, count(*) AS n
        |FROM embeddings GROUP BY 1""".stripMargin
 
+  /** IVF ANN (the standard similarity-search scale path next to the
+    * LSH buckets): coarse quantizer = 8 deterministic centroid vectors
+    * (vec_id 1..8); every vector joins its nearest centroid's inverted
+    * list (broadcast argmax — one map-side pass, no shuffle of the
+    * corpus); the query probes the nprobe=2 nearest lists and
+    * brute-forces only those. Output: top-10 by cosine within the
+    * probed lists (+ the list id, the IVF bookkeeping).
+    * Scale: search reads nprobe/nlist of the corpus where brute force
+    * reads all of it; assignment parallelizes perfectly. */
+  private def cosSpark(a: String, b: String): String =
+    s"""round(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+       | / sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+       | / sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)), 6)""".stripMargin
+  private def cosDuck(a: String, b: String): String =
+    s"""round(list_sum(list_transform(list_zip($a, $b), s -> s[1]::DOUBLE * s[2]::DOUBLE))
+       | / sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+       | / sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))), 6)""".stripMargin
+
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val probed = cents.crossJoin(broadcast(qv))
+      .withColumn("qcos", expr(cosSpark("cv", "qv")))
+      .orderBy(col("qcos").desc, col("cid").asc).limit(2)
+      .select(col("cid"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = emb.filter(col("vec_id") > 8)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(cosSpark("embedding", "cv")))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+    assigned.join(broadcast(probed), Seq("cid"))
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr(cosSpark("embedding", "qv")))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      .select(col("vec_id"), col("cid"), col("cos"))
+  }
+
+  val qAnnIvfSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |           WHERE vec_id BETWEEN 1 AND 8),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT cid FROM c, q
+       |  ORDER BY ${cosDuck("cv", "qv")} DESC, cid ASC LIMIT 2),
+       |assigned AS (
+       |  SELECT vec_id, cid, embedding FROM (
+       |    SELECT e.vec_id, c.cid, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosDuck("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM embeddings e, c WHERE e.vec_id > 8) WHERE rn = 1)
+       |SELECT a.vec_id, a.cid, ${cosDuck("a.embedding", "q.qv")} AS cos
+       |FROM assigned a JOIN probed USING (cid), q
+       |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin
+
   /** Embedding near-dup pairs: candidates blocked by (sign-LSH band,
     * label), exact cosine ≥ 0.35 confirms (threshold fits the synthetic
     * embedding spread). Two 4-bit bands of the 8-bit signature are
@@ -797,6 +854,7 @@ object PipelineOps {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_near_dup" -> (qEmbedNearDup _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
@@ -830,6 +888,7 @@ object PipelineOps {
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
+    "q_ann_ivf" -> qAnnIvfSql,
     "q_embed_near_dup" -> qEmbedNearDupSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
