@@ -38,6 +38,13 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("IVF broadcasts centroids + probed lists; no corpus cartesian product") {
+    val plan = formatted("q_ann_ivf")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("seen anti-join is a real join, not a subquery re-scan per row") {
     val plan = formatted("q_f1_seen_antijoin")
     assert(plan.contains("LeftAnti"), plan)
