@@ -492,15 +492,34 @@ final class SparkFrontier(
     * re-queueing. `updates` carries (url, score); matching queue rows
     * get the new score — moving across score bands, so dequeue order
     * follows — and only the bands holding a matched row are rewritten.
-    * URLs not currently queued are ignored (no new row; the reference
-    * likewise only updates existing state). Reads are bucket-pruned to
-    * the updates' host partitions; the rewrite is band-pruned. Returns
-    * the number of rows re-scored. */
+    * A URL appearing more than once in `updates` (a batched score-event
+    * stream) applies its LAST occurrence only, matching the reference's
+    * sequential per-request update order. URLs not currently queued are
+    * ignored (no new row; the reference likewise only updates existing
+    * state). Reads are bucket-pruned to the updates' host partitions
+    * — but within those buckets every band is read, because a queued
+    * row's CURRENT band (hence file) is unknown until its fingerprint
+    * matches. That read is O(touched host-partitions), accepted for
+    * this rare admin/strategy channel; if profiling ever shows it hot,
+    * a fingerprint→band hint in the manifest would prune it. The
+    * rewrite side is band-pruned regardless. Returns the number of
+    * rows re-scored. */
   def updateScores(updates: DataFrame): Long = queue.withTableLock {
-    val up = identity(updates.select(col("url"), col("score")), "url")
+    val up0 = identity(updates.select(col("url"), col("score")), "url")
       .select($"fingerprint".as("__fp"), $"partition_id".as("__pid"),
         $"score".as("__newscore"))
-    val m = queue.readManifest()
+    // last-wins per fingerprint (input order; a local/parallelized
+    // relation enumerates monotonically_increasing_id in row order)
+    val lastW = Window.partitionBy($"__fp")
+      .orderBy(monotonically_increasing_id().desc)
+    val up = up0.withColumn("__rn", row_number().over(lastW))
+      .filter($"__rn" === 1).drop("__rn")
+    // the dequeue's one-time legacy/re-band migration must run here too:
+    // on a legacy band-less store bandOf = -1 never matches the computed
+    // band (rewritten rows would duplicate their never-removed source
+    // file), and under a CHANGED scoreBands a removed file can hold rows
+    // whose new band is untouched (silent row loss)
+    val m = ensureBandLayout()
     val buckets = up.select($"__pid").distinct().as[Int].collect().toSet
       .intersect(m.bucketPaths.keySet)
     if (buckets.isEmpty) 0L
@@ -543,6 +562,32 @@ final class SparkFrontier(
     queue.append(withBand(rows), epoch, props = bandsProp)
   }
 
+  /** One-time band-layout migration, shared by every queue
+    * read-modify-write entry point (nextBatch, updateScores). Legacy
+    * (pre-banded) queue paths have no band= level and can't be
+    * band-pruned or band-rewritten — migrate them into the banded
+    * layout once (a store written by an older build resumes losslessly).
+    * Likewise, a store written under a DIFFERENT scoreBands setting:
+    * its band ids map to different score ranges, so the prefix planner
+    * would prune wrongly — re-band everything once. Returns a manifest
+    * whose paths are all banded under the current scoreBands. */
+  private def ensureBandLayout(): queue.Manifest = {
+    var m = queue.readManifest()
+    val rebandAll =
+      m.props.get(bandsKey).map(_.toInt).getOrElse(100) != scoreBands &&
+        m.bucketPaths.nonEmpty
+    val legacyPaths = m.bucketPaths.valuesIterator.flatten
+      .filter(p => rebandAll || queue.bandOf(p) < 0).toSet
+    if (legacyPaths.nonEmpty) {
+      queue.replacePaths(withBand(queue.readPaths(spark, legacyPaths.toSeq)),
+        m.epoch, legacyPaths,
+        counters = Map("migrated_legacy_paths" -> legacyPaths.size.toLong),
+        props = bandsProp)
+      m = queue.readManifest()
+    }
+    m
+  }
+
   /** Dequeue scan statistics of the last nextBatch (for tests and
     * lineage): files read vs files in the queue, deepening tries, and
     * phase wall-times (scan+rank+select vs rewrite commit). */
@@ -571,25 +616,7 @@ final class SparkFrontier(
     val tStart = System.nanoTime()
     // crawl_at visibility (delayed revisit): invisible rows stay queued
     val nowEpoch = if (atEpoch >= 0) atEpoch else epoch
-    var m = queue.readManifest()
-    // legacy (pre-banded) queue paths have no band= level and can't be
-    // band-pruned or band-rewritten — migrate them into the banded
-    // layout once (a store written by an older build resumes losslessly).
-    // Likewise, a store written under a DIFFERENT scoreBands setting:
-    // its band ids map to different score ranges, so the prefix planner
-    // would prune wrongly — re-band everything once
-    val rebandAll =
-      m.props.get(bandsKey).map(_.toInt).getOrElse(100) != scoreBands &&
-        m.bucketPaths.nonEmpty
-    val legacyPaths = m.bucketPaths.valuesIterator.flatten
-      .filter(p => rebandAll || queue.bandOf(p) < 0).toSet
-    if (legacyPaths.nonEmpty) {
-      queue.replacePaths(withBand(queue.readPaths(spark, legacyPaths.toSeq)),
-        m.epoch, legacyPaths,
-        counters = Map("migrated_legacy_paths" -> legacyPaths.size.toLong),
-        props = bandsProp)
-      m = queue.readManifest()
-    }
+    val m = ensureBandLayout()
     // A7: busy partitions (in-flight lag >= budget) produce no batch
     // until their results are processed — the reference's ready/busy
     // feed-partition gate
@@ -1015,13 +1042,16 @@ final class SparkFrontier(
     // random-samples the same cap)
     val fresh = discovery match {
       case Some(d) if d.maxSitemapsPerParent > 0 =>
+        // one pass: rank probe and non-probe links in separate window
+        // groups and cap only the probe group — splitting into two
+        // filtered frames and unioning would execute the whole upstream
+        // dedup/anti-join chain twice per discovery epoch
         val isProbeLink = parentIsProbe && isProbeUrl($"link_url")
-        val w = Window.partitionBy($"parent_url")
+        val w = Window.partitionBy($"parent_url", isProbeLink)
           .orderBy($"link_idx".asc, $"link_url".asc)
-        fresh0.filter(isProbeLink)
-          .withColumn("__sm", row_number().over(w))
-          .filter($"__sm" <= d.maxSitemapsPerParent).drop("__sm")
-          .unionByName(fresh0.filter(!isProbeLink))
+        fresh0.withColumn("__sm", row_number().over(w))
+          .filter(!isProbeLink || $"__sm" <= d.maxSitemapsPerParent)
+          .drop("__sm")
       case _ => fresh0
     }
 

@@ -115,6 +115,50 @@ class DomainControlSpec extends AnyFunSuite {
     assert(f.queueSize() == 95)
   }
 
+  test("updateScores: duplicate updates for one URL apply last-wins, no queue fan-out") {
+    val root = Files.createTempDirectory("graft-updup").toString
+    val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = true, useBloom = false)
+    f.bulkSchedule(spark.range(10).select(
+      concat(lit("http://du.com/p/"), $"id").as("url"),
+      lit(0.5).as("score"), lit(0).as("depth")))
+    // the same URL three times in one batched update stream: the LAST
+    // score wins; the queue row must neither duplicate nor triple-count
+    val ups = Seq(
+      ("http://du.com/p/3", 0.30), ("http://du.com/p/3", 0.20),
+      ("http://du.com/p/3", 0.01)).toDF("url", "score")
+    val n = f.updateScores(ups)
+    assert(n == 1L, s"one queue row matched, counted once: $n")
+    assert(f.queueSize() == 10, "a fanned-out join would append duplicates")
+    val row = f.queue.read(spark).filter($"url" === "http://du.com/p/3")
+      .select($"score").as[Double].collect()
+    assert(row.toList == List(0.01), s"last update wins: ${row.toList}")
+  }
+
+  test("updateScores on a store written under a different scoreBands re-bands first (no row loss)") {
+    val root = Files.createTempDirectory("graft-upreband").toString
+    val f50 = new SparkFrontier(spark, root, partitions = 2, stateBuckets = 2,
+      strategy = ScoreStrategy.BFS, globalOrder = true, useBloom = false,
+      scoreBands = 50)
+    f50.bulkSchedule(spark.range(20).select(
+      concat(lit("http://rb.com/p/"), $"id").as("url"),
+      (($"id" % 10).cast("double") / 10.0).as("score"), lit(0).as("depth")))
+    // reopen under the default 100-band layout and update scores BEFORE
+    // any nextBatch: the on-disk band dirs still reflect scoreBands=50,
+    // so without the migration a removed file could hold rows whose
+    // 100-band id is untouched (dropped from the rewrite = row loss)
+    val f100 = new SparkFrontier(spark, root, partitions = 2, stateBuckets = 2,
+      strategy = ScoreStrategy.BFS, globalOrder = true, useBloom = false)
+    val n = f100.updateScores(
+      Seq(("http://rb.com/p/7", 0.05)).toDF("url", "score"))
+    assert(n == 1L)
+    assert(f100.queueSize() == 20,
+      "re-band-then-update must preserve every queued row")
+    val sc = f100.queue.read(spark).filter($"url" === "http://rb.com/p/7")
+      .select($"score").as[Double].collect()
+    assert(sc.toList == List(0.05))
+  }
+
   test("MAX_SITEMAPS: sub-sitemap probes per parent capped, ordinary links unaffected") {
     val root = Files.createTempDirectory("graft-maxsm").toString
     val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
