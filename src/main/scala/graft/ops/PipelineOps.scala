@@ -556,22 +556,41 @@ object PipelineOps {
 
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val cents = emb.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val probed = cents.crossJoin(broadcast(qv))
+    // The coarse quantizer is a MODEL ARTIFACT (like trained KMeans
+    // centroids): 8 vectors + the query, collected once and embedded as
+    // literals. Assignment then needs NO join and NO shuffle — each
+    // corpus row computes all 8 centroid cosines in one projection and
+    // takes the argmax (array_max over (ccos, -cid) structs = best
+    // cosine, ties to the smallest centroid id — identical to the
+    // row_number formulation, minus the full corpus shuffle+sort it
+    // cost). The whole query is scan → project → filter → top-k.
+    val centRows: Seq[(Long, Seq[Double])] =
+      emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq.map(_.toDouble)))
+        .sortBy(_._1).toSeq
+    val qvRow: Seq[Double] = emb.filter(col("vec_id") === 0)
+      .select(col("embedding"))
+      .collect().head.getSeq[Float](0).toSeq.map(_.toDouble)
+    // nprobe=2 nearest lists to the query — 8 rows, same cosine
+    // expression as the oracle (bit-identical ordering)
+    val probedIds: Seq[Long] = spark.createDataFrame(centRows)
+      .toDF("cid", "cv")
+      .withColumn("qv", typedLit(qvRow))
       .withColumn("qcos", expr(cosSpark("cv", "qv")))
       .orderBy(col("qcos").desc, col("cid").asc).limit(2)
-      .select(col("cid"))
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = emb.filter(col("vec_id") > 8)
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", expr(cosSpark("embedding", "cv")))
-      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
-    assigned.join(broadcast(probed), Seq("cid"))
-      .crossJoin(broadcast(qv))
-      .withColumn("cos", expr(cosSpark("embedding", "qv")))
+      .select(col("cid")).collect().map(_.getLong(0)).toSeq
+    emb.filter(col("vec_id") > 8)
+      .withColumn("__cents", typedLit(centRows))
+      .withColumn("__qv", typedLit(qvRow))
+      .withColumn("__best", expr(
+        s"""array_max(transform(__cents,
+           |  c -> named_struct('ccos', ${cosSpark("embedding", "c._2")},
+           |                    'ncid', -c._1)))""".stripMargin))
+      .withColumn("cid", -col("__best.ncid"))
+      .filter(col("cid").isin(probedIds: _*))
+      .withColumn("cos", expr(cosSpark("embedding", "__qv")))
       .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
       .select(col("vec_id"), col("cid"), col("cos"))
   }

@@ -38,11 +38,17 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), plan)
   }
 
-  test("IVF broadcasts centroids + probed lists; no corpus cartesian product") {
+  test("IVF assignment is map-side: no exchange/join/window touches the corpus") {
+    // the coarse-quantizer argmax is a literal-array projection, so the
+    // whole query must be scan → project → filter → top-k: zero
+    // Exchange, zero Join, zero Window anywhere in the corpus plan (the
+    // round-3 formulation shuffled the 8×-expanded corpus through a
+    // row_number window despite claiming map-side)
     val plan = formatted("q_ann_ivf")
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastExchange"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("seen anti-join is a real join, not a subquery re-scan per row") {
