@@ -404,30 +404,37 @@ object PipelineOps {
   private val minhashBands = 4
   private val minhashRows = minhashPerms / minhashBands
 
-  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** The parameterized loop: `perms` min-hash permutations grouped into
+    * `bands` band keys. The default entry runs the 16/4 test dial; the
+    * `_128` entry runs the SAME loop at the 128/16 production-recall
+    * shape, oracle-checked like everything else. */
+  private def minhashLsh(spark: SparkSession, dir: String,
+      perms: Int, bands: Int): DataFrame = {
+    val rows = perms / bands
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
     val sigs = toks.groupBy(col("doc_id")).agg(
       min(md5(concat(col("tok"), lit("|0")))).as("h0"),
-      (1 until minhashPerms).map(i =>
+      (1 until perms).map(i =>
         min(md5(concat(col("tok"), lit(s"|$i")))).as(s"h$i")): _*)
-    val bands = (0 until minhashBands).map { b =>
-      val rowCols = (0 until minhashRows).map(r => col(s"h${b * minhashRows + r}"))
+    val banded = (0 until bands).map { b =>
+      val rowCols = (0 until rows).map(r => col(s"h${b * rows + r}"))
       sigs.select(col("doc_id"), md5(concat(rowCols: _*)).as("bk"))
     }.reduce(_.union(_))
-    bands.as("a").join(bands.as("b"),
+    banded.as("a").join(banded.as("b"),
       col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
-  val qDedupMinhashLshSql: String = {
-    val mins = (0 until minhashPerms)
+  private def minhashLshSql(perms: Int, bands: Int): String = {
+    val rows = perms / bands
+    val mins = (0 until perms)
       .map(i => s"min(md5(tok || '|$i')) AS h$i").mkString(", ")
-    val bandSelects = (0 until minhashBands).map { b =>
-      val rowConcat = (0 until minhashRows)
-        .map(r => s"h${b * minhashRows + r}").mkString(" || ")
+    val bandSelects = (0 until bands).map { b =>
+      val rowConcat = (0 until rows)
+        .map(r => s"h${b * rows + r}").mkString(" || ")
       s"SELECT doc_id, md5($rowConcat) AS bk FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH toks AS (
@@ -440,6 +447,14 @@ object PipelineOps {
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
   }
+
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(spark, dir, minhashPerms, minhashBands)
+  val qDedupMinhashLshSql: String = minhashLshSql(minhashPerms, minhashBands)
+
+  def qDedupMinhashLsh128(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(spark, dir, 128, 16)
+  val qDedupMinhashLsh128Sql: String = minhashLshSql(128, 16)
 
   /** SimHash (16-bit, md5-nibble based): per-document locality-sensitive
     * bit signature. Scale: explode + 16 conditional aggs, map-side
@@ -870,6 +885,7 @@ object PipelineOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_minhash_lsh_128" -> (qDedupMinhashLsh128 _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
@@ -904,6 +920,7 @@ object PipelineOps {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshSql,
+    "q_dedup_minhash_lsh_128" -> qDedupMinhashLsh128Sql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
