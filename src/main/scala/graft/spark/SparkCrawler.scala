@@ -52,6 +52,10 @@ final class SparkCrawler(
 
   def crawlOnce(epochNo: Long): Boolean = {
     val batch = frontier.nextBatch(maxNextRequests, atEpoch = epochNo)
+    // domain buckets of the batch's hosts, computed for free from the
+    // collected sequence — lets processCrawled prune its per-epoch
+    // domain_metadata reads without an extra job
+    var batchDBuckets: Option[Set[Int]] = None
     val n =
       if (collectSequence) {
         // within-batch order follows the queue ordering (a LIFO batch is
@@ -68,6 +72,11 @@ final class SparkCrawler(
         val ordered = batch.orderBy(orderCols: _*)
           .select($"url").as[String].collect().toList
         if (ordered.nonEmpty) sequence.append(ordered)
+        batchDBuckets = Some(ordered.map { u =>
+          graft.core.Hashing.crc32Partition(
+            graft.core.UrlUtil.sld(graft.core.UrlUtil.slotKey(u)),
+            frontier.partitions)
+        }.toSet)
         ordered.length.toLong
       } else if (verifyPayloadOnFetch) {
         // one job: the "fetch" — synthesize the deterministic payload,
@@ -172,12 +181,13 @@ final class SparkCrawler(
     frontier.processCrawled(pages, links, epochNo,
       nPages = if (fetchError.isEmpty) n else -1L, errors = errs,
       domainData = domainData, aliasSeen = aliasSeen,
-      redirectPairs = redirectPairs)
+      redirectPairs = redirectPairs, parentDBuckets = batchDBuckets)
     batch.unpersist()
     if (compactEveryEpochs > 0 && epochNo % compactEveryEpochs == 0) {
       frontier.compactQueue()
       frontier.compactStates()
       frontier.compactMetadata()
+      frontier.compactDomainMeta()
     }
     true
   }

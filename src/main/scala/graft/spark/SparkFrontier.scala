@@ -426,13 +426,12 @@ final class SparkFrontier(
   /** Canonical domain-metadata contribution shape: any subset of the
     * columns in, full contrib row (typed nulls / neutral elements) out. */
   private val contribCols = Seq("domain", "qp", "robots_body", "subdomains",
-    "banned", "fatal_error", "redirect_from", "redirect_to", "prio")
+    "banned", "fatal_error", "redirect_from", "redirect_to")
   private def asContrib(df: DataFrame): DataFrame = {
     val have = df.columns.toSet
     df.select(contribCols.map {
       case c if have(c) => col(c)
       case "qp" => lit(0L).as("qp")
-      case "prio" => lit(1).as("prio")
       case "banned" => lit(null).cast(BooleanType).as("banned")
       case c @ ("subdomains" | "redirect_from" | "redirect_to") =>
         lit(null).cast(ArrayType(StringType)).as(c)
@@ -440,41 +439,103 @@ final class SparkFrontier(
     }: _*)
   }
 
-  /** MERGE INTO domain_metadata: one co-located merge over the touched
-    * domain buckets only. The read-merge-write holds the table lock so a
-    * concurrent writer (another epoch's merge in a pipelined deployment,
-    * or banDomains) cannot commit between the snapshot and the rewrite. */
-  private def mergeDomainContribs(contribs0: DataFrame, epochNo: Long): Unit = {
-    val contribs = contribs0
-      .withColumn("dbucket", host_partition($"domain", partitions)).cache()
-    val touchedD = contribs.select($"dbucket").distinct().as[Int].collect().toSet
-    if (touchedD.nonEmpty) domainMeta.withTableLock {
-      val oldRows = asContrib(domainMeta.readBuckets(spark, Some(touchedD))
-        .select($"domain", $"queued_pages".as("qp"), $"robots_body",
-          $"subdomains", $"banned", $"fatal_error",
-          $"redirect_from", $"redirect_to", lit(0).as("prio")))
-      val merged = oldRows.unionByName(contribs.drop("dbucket"))
-        .groupBy($"domain").agg(
-          sum($"qp").as("queued_pages"),
-          // latest non-null robots body wins (nulls excluded from max)
-          max(when($"robots_body".isNotNull, struct($"prio", $"robots_body")))
-            .getField("robots_body").as("robots_body"),
-          slice(array_sort(array_distinct(flatten(collect_list($"subdomains")))),
-            1, 10).as("subdomains"),
-          // a ban/fatal flag is sticky once set (reference semantics:
-          // nothing in discovery ever clears them)
-          coalesce(max($"banned"), lit(false)).as("banned"),
-          max($"fatal_error").as("fatal_error"),
-          slice(array_sort(array_distinct(flatten(collect_list($"redirect_from")))),
-            1, 100).as("redirect_from"),
-          slice(array_sort(array_distinct(flatten(collect_list($"redirect_to")))),
-            1, 100).as("redirect_to"))
-        .withColumn("dbucket", host_partition($"domain", partitions))
-        .select(domainMetaSchema.fieldNames.map(col): _*)
-      domainMeta.replaceBuckets(merged, epochNo, alsoClear = touchedD)
-    }
-    contribs.unpersist()
+  /** The commutative per-domain fold shared by the LSM write
+    * (pre-aggregating one epoch's contribs), the merge-on-read resolve,
+    * and compaction: counters sum, robots bodies keep the max `ordCol`
+    * (commit version at read time; within one epoch ≤ 1 non-null body
+    * per domain), set columns take the capped union (first-10/100 of
+    * the sorted distinct union — a min-k selection, so folding folds:
+    * cap(A ∪ B) == cap(cap(A) ∪ cap(B))), ban/fatal flags are sticky
+    * maxes (discovery never clears them). */
+  private def foldDomainRows(rows: DataFrame, qpCol: String,
+      ordCol: Column): DataFrame =
+    rows.groupBy($"domain").agg(
+      sum(col(qpCol)).as("queued_pages"),
+      max(when($"robots_body".isNotNull, struct(ordCol.as("__o"), $"robots_body")))
+        .getField("robots_body").as("robots_body"),
+      slice(array_sort(array_distinct(flatten(collect_list($"subdomains")))),
+        1, 10).as("subdomains"),
+      coalesce(max($"banned"), lit(false)).as("banned"),
+      max($"fatal_error").as("fatal_error"),
+      slice(array_sort(array_distinct(flatten(collect_list($"redirect_from")))),
+        1, 100).as("redirect_from"),
+      slice(array_sort(array_distinct(flatten(collect_list($"redirect_to")))),
+        1, 100).as("redirect_to"))
+      .withColumn("dbucket", host_partition($"domain", partitions))
+      .select(domainMetaSchema.fieldNames.map(col): _*)
+
+  /** LSM write path for domain_metadata (the round-3 states treatment;
+    * reference anchor: the domain cache is a write-batched KV,
+    * hbase/domaincache.py:65-312 — never a table rewrite): one
+    * pre-aggregated delta row per touched domain is APPENDED — O(epoch
+    * contribs) rows and files, no read of the existing buckets (the
+    * previous MERGE INTO read and REWROTE every touched bucket, an
+    * O(table)-per-epoch rewrite once domains hash across all buckets).
+    * Readers resolve with the same commutative fold (`readDomainMeta`);
+    * `compactDomainMeta` folds the delta log back down between epochs.
+    * Append-only ⇒ no table lock needed beyond the commit lock itself:
+    * concurrent writers (banDomains next to an epoch) serialize their
+    * appends and the fold is order-independent. */
+  private def mergeDomainContribs(contribs: DataFrame, epochNo: Long): Unit =
+    domainMeta.append(foldDomainRows(contribs, "qp", lit(0L)), epochNo)
+
+  /** Merge-on-read domain_metadata view: resolve the delta log with the
+    * commutative fold; robots bodies keep the latest non-null by commit
+    * version (strictly monotonic, embedded in the delta-file path). */
+  def readDomainMeta(only: Option[Set[Int]] = None): DataFrame = {
+    val raw = domainMeta.readBuckets(spark, only)
+    if (domainMeta.readManifest().bucketPaths.isEmpty) return raw
+    val versioned = raw.withColumn("__v",
+      regexp_extract(input_file_name(), "commit=(\\d+)/", 1).cast(LongType))
+    foldDomainRows(versioned, "queued_pages", $"__v")
   }
+
+  /** (paths read, paths in domain_metadata) of the last per-epoch robots
+    * read — the bucket-pruning evidence for the plan-quality specs. */
+  @volatile var lastRobotsScan: (Int, Int) = (0, 0)
+
+  /** Latest robots body per domain (the F3 deny filter's read), pruned
+    * to `only` domain buckets when given — at 10^8 domains the robots
+    * bodies are the biggest per-epoch read, and an epoch's links touch
+    * a few buckets. */
+  private def readDomainRobots(only: Option[Set[Int]]): DataFrame = {
+    val m = domainMeta.readManifest()
+    val total = m.bucketPaths.valuesIterator.map(_.size).sum
+    val scanned = only match {
+      case Some(s) =>
+        m.bucketPaths.iterator.collect {
+          case (b, ps) if s.contains(b) => ps.size }.sum
+      case None => total
+    }
+    lastRobotsScan = (scanned, total)
+    val raw = domainMeta.readBuckets(spark, only)
+      .filter($"robots_body".isNotNull)
+    if (m.bucketPaths.isEmpty) return raw.select($"domain", $"robots_body")
+    val w = Window.partitionBy($"domain").orderBy(
+      regexp_extract(input_file_name(), "commit=(\\d+)/", 1)
+        .cast(LongType).desc)
+    raw.withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"domain", $"robots_body")
+  }
+
+  /** Fold domain-metadata delta files into one base per overgrown
+    * bucket (LSM compaction, like compactStates; run between epochs).
+    * The fold IS the resolve, so folded rows carry totals — later
+    * deltas keep summing on top. */
+  def compactDomainMeta(maxFilesPerBucket: Int = 8): Int =
+    domainMeta.withTableLock {
+      val m = domainMeta.readManifest()
+      val overgrown = m.bucketPaths.collect {
+        case (b, ps) if ps.size > maxFilesPerBucket => b
+      }.toSet
+      if (overgrown.isEmpty) 0
+      else {
+        domainMeta.replaceBuckets(readDomainMeta(Some(overgrown)), m.epoch,
+          alsoClear = overgrown,
+          counters = Map("compacted_domain_buckets" -> overgrown.size.toLong))
+        overgrown.size
+      }
+    }
 
   /** Operator/strategy ban switch (the reference's `'banned' in domain`
     * check, discovery/__init__.py:43-44): marks 2nd-level domains banned
@@ -883,7 +944,14 @@ final class SparkFrontier(
         * (from_host, to_host) — feeds both domains' capped
         * redirect_from/redirect_to sets in domain_metadata (reference
         * _get_domain_after_redirects, discovery/__init__.py:478-507) */
-      redirectPairs: Option[DataFrame] = None): Unit = {
+      redirectPairs: Option[DataFrame] = None,
+      /** domain buckets (host_partition of sld) of this epoch's PARENT
+        * hosts, when the caller already knows them (the crawler computes
+        * them for free from a collected batch). Under sameDomainOnly
+        * every schedulable link shares its parent's 2nd-level domain, so
+        * this one small set prunes BOTH per-epoch domain_metadata reads
+        * (the F3 robots deny and the A4 budget join). */
+      parentDBuckets: Option[Set[Int]] = None): Unit = {
     if (epochNo <= lastProcessedEpoch) return // stale replay (jid filter)
     val aliasStates = aliasSeen.map(_.select($"fingerprint").distinct()
       .withColumn("state", lit(graft.local.States.Crawled)))
@@ -902,35 +970,51 @@ final class SparkFrontier(
     // the robots deny — an ordinary page linking to a sitemap-named URL
     // gets no special treatment (no deny bypass, no 0.9 priority)
     def parentIsProbe: Column = isProbeUrl($"parent_url")
+    // F5: same-domain filter FIRST (discovery _is_from_same_domain,
+    // discovery/__init__.py:516-523 — part of filter_extracted_links,
+    // before the states fetch). Row-local, so it commutes with the
+    // robots deny below (both select on per-row predicates; the
+    // surviving set is their intersection either way) — and running it
+    // first means every link reaching the robots join shares its
+    // PARENT's 2nd-level domain, which is what lets that join prune its
+    // domain_metadata read to the parent domains' buckets.
+    val l1d = discovery match {
+      case Some(d) if d.sameDomainOnly =>
+        l1.filter(FrontierExprs.sld($"host") ===
+          FrontierExprs.sld(url_host($"parent_url")))
+      case _ => l1
+    }
+    val sameD = discovery.exists(_.sameDomainOnly)
+    // the pruning set: supplied by the crawler when it collected the
+    // batch anyway, else one small job over the page batch (O(batch),
+    // vs the O(all domains) read it prunes). Without sameDomainOnly the
+    // link domains are unbounded — fall back to unpruned reads.
+    val parentDB: Option[Set[Int]] =
+      if (!sameD) None
+      else parentDBuckets.orElse(Some(
+        pages.select(host_partition(
+            FrontierExprs.sld(url_host($"url")), partitions).as("db"))
+          .distinct().as[Int].collect().toSet))
     // F2/F3: filter_extracted_links — robots deny before the states
     // lookup (saves the KV fetch, exactly the reference's motivation).
     // The robots source is either the caller-supplied static table or,
     // under discovery, the robots bodies persisted in domain_metadata
-    // (keyed by 2nd-level domain, like the reference's domain dict).
-    val l0a = (robots, discovery) match {
+    // (keyed by 2nd-level domain, like the reference's domain dict),
+    // read bucket-pruned to this epoch's parent domains.
+    val l0raw = (robots, discovery) match {
       case (Some(dm), _) =>
-        l1.join(broadcast(dm.select($"host", $"robots_body")), Seq("host"), "left_outer")
+        l1d.join(broadcast(dm.select($"host", $"robots_body")), Seq("host"), "left_outer")
           .filter(FrontierExprs.robots_can_fetch($"link_url",
             coalesce($"robots_body", lit(""))))
           .drop("robots_body")
       case (None, Some(_)) =>
-        val dmRobots = domainMeta.read(spark)
-          .filter($"robots_body".isNotNull)
+        val dmRobots = readDomainRobots(parentDB)
           .select($"domain".as("__rdom"), $"robots_body")
-        l1.join(dmRobots, FrontierExprs.sld($"host") === $"__rdom", "left_outer")
+        l1d.join(dmRobots, FrontierExprs.sld($"host") === $"__rdom", "left_outer")
           .filter(FrontierExprs.robots_can_fetch($"link_url",
             coalesce($"robots_body", lit(""))) || parentIsProbe)
           .drop("__rdom", "robots_body")
-      case _ => l1
-    }
-    // F5: same-domain filter (discovery _is_from_same_domain,
-    // discovery/__init__.py:516-523) — also part of
-    // filter_extracted_links, before the states fetch
-    val l0raw = discovery match {
-      case Some(d) if d.sameDomainOnly =>
-        l0a.filter(FrontierExprs.sld($"host") ===
-          FrontierExprs.sld(url_host($"parent_url")))
-      case _ => l0a
+      case _ => l1d
     }
     // discovery consumes the filtered links TWICE (dedup/anti-join chain
     // + the subdomain-set aggregation) — cache so each epoch makes one
@@ -971,13 +1055,14 @@ final class SparkFrontier(
     // they're not in the persisted bloom yet, so that check is a separate
     // broadcast anti-join against the (small) batch.
     var probeCache: Option[DataFrame] = None
-    // domain buckets present among this epoch's links — collected in the
-    // same job as the Bloom maybe-buckets (below) so the A4 budget join
-    // reads only those `domain_metadata` buckets instead of the whole
-    // table (at 10^10 URLs the table spans every bucket; an epoch's links
-    // touch a few)
-    var budgetDBuckets: Option[Set[Int]] = None
-    val wantDB = discovery.exists(_.maxPagesPerDomain > 0)
+    // domain buckets present among this epoch's links, for the A4
+    // budget join's domain_metadata pruning (at 10^10 URLs the table
+    // spans every bucket; an epoch's links touch a few). With the
+    // same-domain filter on, the parent-derived set already covers the
+    // link domains; otherwise the set is collected in the same job as
+    // the Bloom maybe-buckets below
+    var budgetDBuckets: Option[Set[Int]] = parentDB
+    val wantDB = discovery.exists(_.maxPagesPerDomain > 0) && parentDB.isEmpty
     val statesManifest = states.readManifest()
     val notSeenPersisted =
       if (statesManifest.bucketPaths.isEmpty)
@@ -1098,10 +1183,11 @@ final class SparkFrontier(
     // reference's LIMIT REACHED path)
     val scheduled = (discovery match {
       case Some(d) if d.maxPagesPerDomain > 0 =>
-        // bucket-pruned: only the domain buckets this epoch links into
-        // (collected alongside the bloom probe); full read only in the
-        // no-bloom fallback path
-        val dm = domainMeta.readBuckets(spark, budgetDBuckets)
+        // bucket-pruned resolved view: only the domain buckets this
+        // epoch links into (the parent-derived set under sameDomainOnly,
+        // else collected alongside the bloom probe); full read only in
+        // the no-bloom non-same-domain fallback
+        val dm = readDomainMeta(budgetDBuckets)
           .select($"domain".as("__domain"), $"queued_pages".as("__qp0"),
             $"banned".as("__banned"), $"fatal_error".as("__fatal"))
         // budget keeps the BEST-ranked links under the active dequeue
@@ -1186,10 +1272,10 @@ final class SparkFrontier(
         queue.append(withBand(toAppend), epochNo, Map("scheduled" -> nScheduled),
           props = bandsProp)
 
-    // domain_metadata merge (A4/J2/§2.7): per-domain queued_pages bump,
+    // domain_metadata delta (A4/J2/§2.7): per-domain queued_pages bump,
     // robots bodies fetched this epoch, capped subdomain set, fatal
-    // errors, and redirect netloc sets — one MERGE INTO per epoch,
-    // bucket-pruned
+    // errors, and redirect netloc sets — ONE pre-aggregated APPEND per
+    // epoch (O(contribs), no bucket read/rewrite); readers resolve
     def commitDomainMeta(): Unit =
       if ((discovery.isDefined || domainData.isDefined || redirectPairs.isDefined) &&
           domainMeta.readManifest().epoch < epochNo) {

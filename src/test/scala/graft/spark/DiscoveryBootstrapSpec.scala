@@ -47,7 +47,7 @@ class DiscoveryBootstrapSpec extends AnyFunSuite {
     assert(!seq.contains("http://www.x.com/somewhere"))
 
     // robots body persisted per 2nd-level domain; subdomain set captured
-    val dm = f.domainMeta.read(spark)
+    val dm = f.readDomainMeta()
       .select($"domain", $"robots_body", $"subdomains")
       .as[(String, String, Seq[String])].collect()
       .map { case (k, b, s) => k -> ((b, s)) }.toMap

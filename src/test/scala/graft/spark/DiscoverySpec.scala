@@ -58,7 +58,7 @@ class DiscoverySpec extends AnyFunSuite {
     val seq = c.run()
 
     // persistent counters: every domain stops at the budget
-    val counters = f.domainMeta.read(spark)
+    val counters = f.readDomainMeta()
       .select($"domain", $"queued_pages").as[(String, Long)].collect().toMap
     assert(counters.nonEmpty)
     counters.foreach { case (d, n) =>
@@ -84,7 +84,7 @@ class DiscoverySpec extends AnyFunSuite {
         sameDomainOnly = false)))
     val c2 = new SparkCrawler(f2, GraphTables.webDF(spark, Graphs.site09), 100)
     c2.run()
-    val counters2 = f2.domainMeta.read(spark)
+    val counters2 = f2.readDomainMeta()
       .select($"domain", $"queued_pages").as[(String, Long)].collect().toMap
     counters2.foreach { case (d, n) => assert(n <= budget, s"$d: $n") }
   }

@@ -38,7 +38,7 @@ class DomainControlSpec extends AnyFunSuite {
     assert(seq.contains("http://a.com/4"), seq.toString)
     assert(!seq.contains("http://x.com/2"),
       s"links into a fatal-errored domain must not schedule: $seq")
-    val dm = f.domainMeta.read(spark)
+    val dm = f.readDomainMeta()
       .filter($"domain" === "x.com").select($"fatal_error").as[String].collect()
     assert(dm.length == 1 && dm.head != null && dm.head.startsWith("fetch failed"),
       s"domain_metadata must record the fatal error: ${dm.toList}")
@@ -60,7 +60,7 @@ class DomainControlSpec extends AnyFunSuite {
     assert(seq.contains("http://a.com/2"))
     assert(!seq.exists(_.startsWith("http://b.com")),
       s"banned domain must never be scheduled: $seq")
-    val dm = f.domainMeta.read(spark)
+    val dm = f.readDomainMeta()
       .filter($"domain" === "b.com").select($"banned").as[Boolean].collect()
     assert(dm.toList == List(true))
   }
@@ -201,7 +201,7 @@ class DomainControlSpec extends AnyFunSuite {
     f.addSeeds(Seq("http://from.com/", "http://deep-a.com/y"))
     new SparkCrawler(f, web, 100, redirects = Some(redirects)).run(maxEpochs = 10)
 
-    val dm = f.domainMeta.read(spark)
+    val dm = f.readDomainMeta()
       .select($"domain", $"redirect_from", $"redirect_to")
       .as[(String, Seq[String], Seq[String])].collect()
       .map(t => t._1 -> (Option(t._2).getOrElse(Nil), Option(t._3).getOrElse(Nil)))
