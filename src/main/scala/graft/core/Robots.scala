@@ -20,15 +20,22 @@ object Robots {
   }
   val AllowAll: Rules = Rules(Vector.empty, Vector.empty)
 
-  private val directives = Set("user-agent", "disallow", "allow", "sitemap",
-    "crawl-delay", "host")
-
-  /** is_valid_robotstxt: some line must start with a known directive. */
-  def isValid(body: String): Boolean =
-    body.linesIterator.map(_.trim.toLowerCase).exists { l =>
-      val i = l.indexOf(':')
-      i > 0 && directives.contains(l.substring(0, i).trim)
+  /** is_valid_robotstxt (discovery/__init__.py:78-86): the FIRST
+    * non-empty, non-comment line decides — it must start with
+    * "user-agent:" or "sitemap:". An HTML error page served as
+    * robots.txt is invalid even if a directive-looking line appears
+    * later (exactly the reference's early-return loop; only the BOM is
+    * stripped before the check, not whitespace). */
+  def isValid(body: String): Boolean = {
+    val it = body.linesIterator
+    while (it.hasNext) {
+      val line = it.next().toLowerCase
+        .stripPrefix("\ufeff").stripSuffix("\ufeff")
+      if (line.nonEmpty && !line.startsWith("#"))
+        return line.startsWith("user-agent:") || line.startsWith("sitemap:")
     }
+    false
+  }
 
   /** Parse rules applying to User-agent: * (the reference crawls as a
     * generic agent). */

@@ -103,6 +103,19 @@ case class RobotsCanFetch(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** is_valid_robotstxt (discovery/__init__.py:78-86) as a native
+  * expression — gates what a fetched robots body is trusted for (an
+  * invalid body schedules the home page only, no sitemap probes). */
+case class RobotsValid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(body: Any): Any =
+    SparkFun.robotsValid(body.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.spark.SparkFun.robotsValid($b)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
 /** Partitioned-Bloom URL-seen probe: `mightContain(blooms(bucket), key)`
   * as a native expression — stays inside whole-stage codegen (the naive
   * alternative, a Scala UDF, pays row ser/de in the hottest link-filter
@@ -140,6 +153,7 @@ object FrontierExprs {
     col(HostPartition(expr(c), expr(lit(n))))
   def robots_can_fetch(url: Column, body: Column): Column =
     col(RobotsCanFetch(expr(url), expr(body)))
+  def robots_valid(body: Column): Column = col(RobotsValid(expr(body)))
   def sld(c: Column): Column = col(Sld(expr(c)))
   def is_home_page(c: Column): Column = col(IsHomePage(expr(c)))
   /** justify_request_score_by_hostname (discovery/__init__.py:47-50):

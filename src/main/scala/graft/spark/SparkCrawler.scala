@@ -162,10 +162,16 @@ final class SparkCrawler(
         def parentCols = Seq($"url".as("parent_url"),
           $"score".as("parent_score"), $"created_at".as("parent_created"),
           $"depth".as("parent_depth"))
+        // Sitemap: directives are only trusted from a VALID robots body
+        // (is_valid_robotstxt — reference _process_robots_txt parses and
+        // on failure schedules the home page ONLY, discovery/__init__.py:
+        // 284-310); the home link is scheduled either way
         val robotsLinks = withBody.filter(isRobots)
           .select(parentCols :+ posexplode(array_union(
             array(regexp_replace($"url", "/robots\\.txt$", "/")),
-            regexp_extract_all($"body", lit("(?m)^Sitemap:\\s*(\\S+)"), lit(1)))): _*)
+            when(FrontierExprs.robots_valid($"body"),
+              regexp_extract_all($"body", lit("(?m)^Sitemap:\\s*(\\S+)"), lit(1)))
+              .otherwise(array().cast("array<string>")))): _*)
           .withColumnRenamed("pos", "link_idx")
           .withColumnRenamed("col", "link_url")
         val sitemapLinks = withBody.filter(isSitemap)

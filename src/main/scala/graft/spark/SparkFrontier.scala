@@ -109,6 +109,19 @@ final class SparkFrontier(
       * groups instead of one straggler task, while the host-global cap
       * stays ≤ maxPerHost. Requires maxPerHost % hostSalts == 0. */
     val hostSalts: Int = 1,
+    /** politeness slot-key mode (reference get_slot_key key_type,
+      * core/__init__.py:10-25, feeding OverusedBuffer and the queue's
+      * host-cap collection): "host" (default) budgets per hostname;
+      * "ip" budgets per RESOLVED address via `ipResolver`, so co-hosted
+      * hostnames share one `maxPerHost` budget. */
+    val slotKeyMode: String = "host",
+    /** injected resolver for ip mode (network lookups don't belong in a
+      * deterministic operator): production wires a cached
+      * `InetAddress.getByName(_).getHostAddress`; the default is the
+      * deterministic offline stub. A host the resolver fails on keeps
+      * its hostname slot, like the reference's fallthrough. Must be
+      * serializable (it ships to executors inside a UDF). */
+    val ipResolver: String => String = graft.core.UrlUtil.fakeResolver,
     /** conformance mode: single global (score, created) order like the
       * single-partition reference; scale mode: per-partition top-k */
     val globalOrder: Boolean = false,
@@ -173,12 +186,20 @@ final class SparkFrontier(
     StructField("fingerprint", StringType), StructField("state", IntegerType),
     StructField("sbucket", IntegerType)))
   /** write-mostly per-document record (S7; reference sqlalchemy
-    * models.py:9-30 metadata table) */
+    * models.py:9-30 metadata table — column parity: `created_at` is the
+    * request's schedule stamp (our epoch-sequenced counter stands in for
+    * the wall-clock DateTime — the engine clock is the epoch),
+    * `method` the HTTP verb (reference default GET), and `meta` the
+    * binary escape hatch standing in for the reference's pickled
+    * meta/headers/cookies columns. All three are additive: stores
+    * written before they existed read them as typed nulls. */
   val metadataSchema: StructType = StructType(Seq(
     StructField("fingerprint", StringType), StructField("url", StringType),
     StructField("depth", IntegerType), StructField("score", DoubleType),
     StructField("fetched_epoch", LongType), StructField("status", StringType),
-    StructField("partition_id", IntegerType)))
+    StructField("partition_id", IntegerType),
+    StructField("created_at", LongType), StructField("method", StringType),
+    StructField("meta", MapType(BinaryType, BinaryType))))
 
   /** Queue files are secondarily partitioned by 0.01-score band — the
     * reference HBase rowkey interval (hbase/__init__.py:129-196) as a
@@ -744,6 +765,21 @@ final class SparkFrontier(
     // never starves the batch. Batch, shortfall stats, and rewrite
     // residue all come from this pass. Over-cap and invisible rows get
     // __rank = MaxValue (never selected, ride into the rewrite residue).
+    // politeness slot key: the hostname, or (ip mode) its resolved
+    // address — co-hosted hostnames then collapse into ONE window group
+    // sharing one budget (reference OverusedBuffer key_type='ip'). The
+    // resolver UDF runs only in ip mode; the default host path stays in
+    // whole-stage codegen.
+    val slotCol: Column =
+      if (slotKeyMode == "ip") {
+        val resolve = ipResolver
+        udf { (h: String) =>
+          try {
+            val ip = resolve(h)
+            if (ip != null && ip.nonEmpty) ip else h
+          } catch { case _: Exception => h }
+        }.apply($"host")
+      } else $"host"
     def tag(visRows: DataFrame): DataFrame = {
       if (maxPerHost > 0) {
         require(hostSalts == 1 || maxPerHost % hostSalts == 0,
@@ -751,10 +787,10 @@ final class SparkFrontier(
         val (hw, perGroupCap) =
           if (hostSalts > 1) {
             val salt = pmod(xxhash64($"fingerprint"), lit(hostSalts))
-            (Window.partitionBy($"host", salt).orderBy(orderCols: _*),
+            (Window.partitionBy(slotCol, salt).orderBy(orderCols: _*),
               maxPerHost / hostSalts)
           } else
-            (Window.partitionBy($"host").orderBy(orderCols: _*), maxPerHost)
+            (Window.partitionBy(slotCol).orderBy(orderCols: _*), maxPerHost)
         val withH = visRows.withColumn("__hrank", row_number().over(hw))
         val capped = withH.filter($"__hrank" <= perGroupCap)
           .withColumn("__rank", row_number().over(rankW))
@@ -960,8 +996,6 @@ final class SparkFrontier(
     val pageStates = aliasStates.fold(pageStates0)(a =>
       pageStates0.unionByName(a).dropDuplicates("fingerprint"))
 
-    // middleware chain in declared order (2.11) over the identified links
-    val l1 = linkTransforms.foldLeft(identity(links, "link_url"))((df, t) => t(df))
     def isProbeUrl(u: Column): Column =
       u.endsWith("/robots.txt") || u.rlike("sitemap[^/]*\\.xml$")
     // strategy-issued probe links: the PARENT page is itself a probe
@@ -970,6 +1004,37 @@ final class SparkFrontier(
     // the robots deny — an ordinary page linking to a sitemap-named URL
     // gets no special treatment (no deny bypass, no 0.9 priority)
     def parentIsProbe: Column = isProbeUrl($"parent_url")
+    // Home-page fallback on probe failures (reference request_error,
+    // discovery/__init__.py:267-281 → _process_robots_txt_error :330-333
+    // and the sitemap-error home schedule :280-281): a robots/sitemap
+    // probe failing NON-fatally still schedules its domain's home page —
+    // synthesized here as a strategy link (parent = the failed probe),
+    // so it rides the normal pipeline: states-deduped, budget-counted,
+    // scored 0.8 as a home page, and dropped if the domain is already
+    // banned/fatal. A fatal (DNS-class) error matches fatalErrorPattern
+    // instead — excluded here AND recorded as the domain's fatal_error
+    // by commitDomainMeta, the same-event accessibility check the
+    // reference does by setting fatal_error before its error handler.
+    val linksAll = (discovery, errors) match {
+      case (Some(d), Some(err)) =>
+        val createdCol =
+          if (err.columns.contains("created_at")) col("created_at")
+          else lit(0L)
+        val fallback = err
+          .filter(isProbeUrl(col("url")) &&
+            !coalesce(col("error"), lit("")).rlike(d.fatalErrorPattern))
+          .select(col("url").as("parent_url"),
+            col("score").as("parent_score"),
+            createdCol.as("parent_created"),
+            col("depth").as("parent_depth"),
+            lit(0).as("link_idx"),
+            concat(lit("http://"), url_host(col("url")), lit("/"))
+              .as("link_url"))
+        links.unionByName(fallback, allowMissingColumns = true)
+      case _ => links
+    }
+    // middleware chain in declared order (2.11) over the identified links
+    val l1 = linkTransforms.foldLeft(identity(linksAll, "link_url"))((df, t) => t(df))
     // F5: same-domain filter FIRST (discovery _is_from_same_domain,
     // discovery/__init__.py:516-523 — part of filter_extracted_links,
     // before the states fetch). Row-local, so it commutes with the
@@ -1321,13 +1386,18 @@ final class SparkFrontier(
     def commitMetadata(): Unit =
       if ((nCrawledStates > 0 || nErrorStates > 0) &&
           metadata.readManifest().epoch < epochNo) {
-        val okMeta = pages.select($"fingerprint", $"url", $"depth", $"score")
+        val okMeta = pages
+          .select($"fingerprint", $"url", $"depth", $"score", $"created_at")
           .withColumn("fetched_epoch", lit(epochNo))
           .withColumn("status", lit("200"))
         val allMeta = errors match {
           case Some(err) =>
+            val errCreated =
+              if (err.columns.contains("created_at")) col("created_at")
+              else lit(null).cast(LongType)
             okMeta.unionByName(
               err.select($"fingerprint", $"url", $"depth", $"score",
+                errCreated.as("created_at"),
                 coalesce($"error", lit("error")).as("status"))
                 .withColumn("fetched_epoch", lit(epochNo)))
           case None => okMeta
@@ -1335,6 +1405,9 @@ final class SparkFrontier(
         metadata.append(
           allMeta
             .withColumn("partition_id", host_partition(url_host($"url"), partitions))
+            .withColumn("method", lit("GET"))
+            .withColumn("meta",
+              lit(null).cast(MapType(BinaryType, BinaryType)))
             .select(metadataSchema.fieldNames.map(col): _*),
           epochNo)
       }

@@ -46,6 +46,10 @@ object SparkFun {
   def robotsCanFetch(url: UTF8String, body: UTF8String): Boolean =
     graft.core.Robots.canFetch(url.toString, body.toString)
 
+  /** is_valid_robotstxt (discovery/__init__.py:78-86). */
+  def robotsValid(body: UTF8String): Boolean =
+    graft.core.Robots.isValid(body.toString)
+
   /** 2nd-level domain of a hostname (discovery `_get_2ndlevel_name`). */
   def sld(host: UTF8String): UTF8String =
     UTF8String.fromString(UrlUtil.sld(host.toString))
