@@ -480,6 +480,134 @@ object PipelineOps {
        |SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash FROM bits""".stripMargin
 
   // =====================================================================
+  // Banded-Hamming near-dup + duplicate clusters — the dedup completion:
+  // signatures (simhash/phash) only become a dedup when the close PAIRS
+  // are found and folded into per-document cluster ids
+  // =====================================================================
+
+  /** Generic banded-Hamming near-dup join over a `bits`-bit signature
+    * column: two signatures within `maxHamming` bits of each other must
+    * agree EXACTLY on at least one of `bands` equal bit slices whenever
+    * maxHamming < bands (pigeonhole), so candidates come from an
+    * equi-join on (band index, band value) and are confirmed with an
+    * exact popcount — never an all-pairs product.
+    * Scale: the join hash-partitions on the band key; candidates per
+    * bucket are bounded by band selectivity (64-bit phash at 4×16-bit
+    * bands ⇒ 2^16 buckets per band). This exact shape is how an
+    * image-corpus phash dedup runs at 100 TB — the `documents` query
+    * below exercises it on the 16-bit simhash, ImageSpec on real 64-bit
+    * `ImageSynth.phash` values. */
+  def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming < bands,
+      s"banded pigeonhole needs maxHamming < bands ($maxHamming >= $bands)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val bandArr = array((0 until bands).map(b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col(hashCol), b * bandBits)
+          .bitwiseAND(lit(mask)).as("bk"))): _*)
+    val banded = df
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        explode(bandArr).as("band"))
+      .select(col("__id"), col("__h"),
+        col("band.b").as("__b"), col("band.bk").as("__bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__bk") === col("b.__bk") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h")))
+          .cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs: the 16-bit simhash above through the banded-
+    * Hamming join (4 bands of 4 bits, Hamming ≤ 1). */
+  def qDedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    hammingNearDup(qDedupSimhash(spark, dir), "doc_id", "simhash",
+      bits = 16, bands = 4, maxHamming = 1)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /** The simhash CTE prefix shared by the pairs and clusters oracles. */
+  private val simhashPairsCteSql: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bits AS (SELECT doc_id, ${simhashBitsSql.mkString(", ")} FROM toks GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($simhashValueSql AS BIGINT) AS simhash FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (4 * b)) & 15 AS bk
+       |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS ha, b.simhash AS hb
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(ha, hb)) <= 1)""".stripMargin
+
+  val qDedupSimhashPairsSql: String =
+    s"""WITH $simhashPairsCteSql
+       |SELECT doc_a, doc_b, hamming FROM pairs""".stripMargin
+
+  /** Connected components over near-dup candidate edges — duplicate
+    * CLUSTERS, the step that turns pairwise similarity into a dedup
+    * decision (keeper = the member whose id equals the cluster id).
+    * Min-label propagation with pointer jumping: each round a node takes
+    * the min of its own label, its neighbors' labels, and its label's
+    * label — the jump step doubles the propagation horizon, so rounds =
+    * O(log diameter), not O(diameter). Every round is a distributed
+    * join + min-agg; `localCheckpoint` truncates the growing lineage
+    * (at a real 100 TB run this is a reliable checkpoint dir instead).
+    * Returns (node, cluster_id) for every node incident to an edge. */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 40) {
+      val viaEdges = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("cluster_id"))
+      val viaJump = labels.as("l1")
+        .join(labels.as("l2"), col("l1.cluster_id") === col("l2.node"))
+        .select(col("l1.node").as("node"), col("l2.cluster_id").as("cluster_id"))
+      val next = labels.select(col("node"), col("cluster_id"))
+        .union(viaEdges).union(viaJump)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"dedupClusters did not converge in $rounds rounds")
+    labels
+  }
+
+  /** Duplicate clusters over the simhash near-dup edges. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(qDedupSimhashPairs(spark, dir), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+
+  /** Oracle: transitive closure by recursive CTE (min reachable id). */
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $simhashPairsCteSql,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+       |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""".stripMargin
+
+  // =====================================================================
   // Training-data pipeline: similarity search over embeddings
   // =====================================================================
 
@@ -863,6 +991,39 @@ object PipelineOps {
       |  FROM pairs) WHERE rn <= 5""".stripMargin
 
   // =====================================================================
+  // Seeded random-order scheduling (consume_randomly,
+  // discovery/__init__.py:65-75,431-455): the budget keeps a uniform
+  // random SAMPLE of each domain's candidates instead of first-N. The
+  // permutation is md5(seed|url) rank — a deterministic uniform shuffle
+  // identical in Spark and DuckDB, so it stays oracle-able. The engine
+  // wiring is DiscoveryConfig.randomSeed; this query is the isolated
+  // operator shape.
+  // =====================================================================
+
+  /** Per-domain budget keeping a seeded random sample (5 per host):
+    * rank by md5(seed|url) within the domain, keep the best-ranked.
+    * Scale: one window per domain partition — same shape as the A4
+    * budget rank, hash-partitioned by domain, no extra shuffle. */
+  def qDiscoveryRandomSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("hostnum"))
+      .orderBy(md5(concat_ws("|", lit("42"), col("url"))).asc, col("url").asc)
+    urls(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("hostnum"), col("url"))
+  }
+
+  val qDiscoveryRandomSampleSql: String =
+    s"""WITH u AS ($urlsSql),
+       |ranked AS (
+       |  SELECT hostnum, url,
+       |         row_number() OVER (
+       |           PARTITION BY hostnum
+       |           ORDER BY md5('42' || '|' || url) ASC, url ASC) AS rn
+       |  FROM u)
+       |SELECT hostnum, url FROM ranked WHERE rn <= 5""".stripMargin
+
+  // =====================================================================
   // registry
   // =====================================================================
 
@@ -887,6 +1048,9 @@ object PipelineOps {
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_minhash_lsh_128" -> (qDedupMinhashLsh128 _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_discovery_random_sample" -> (qDiscoveryRandomSample _),
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -922,6 +1086,9 @@ object PipelineOps {
     "q_dedup_minhash_lsh" -> qDedupMinhashLshSql,
     "q_dedup_minhash_lsh_128" -> qDedupMinhashLsh128Sql,
     "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairsSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_discovery_random_sample" -> qDiscoveryRandomSampleSql,
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
     "q_ann_ivf" -> qAnnIvfSql,

@@ -71,7 +71,22 @@ final case class DiscoveryConfig(
       * index can enumerate unbounded sub-sitemaps; the reference
       * random-samples, we keep the first N in extraction order for
       * determinism). 0 = uncapped. */
-    maxSitemapsPerParent: Int = 100)
+    maxSitemapsPerParent: Int = 100,
+    /** seeded random-order scheduling — the reference's consume_randomly
+      * (discovery/__init__.py:65-75, used by _schedule_requests:431-455)
+      * and the MAX_SITEMAPS random.sample (:359-362). When set, links are
+      * ordered by a deterministic uniform permutation (md5(seed|url)
+      * rank) instead of extraction order, so budget/sitemap caps keep a
+      * uniform random SAMPLE of each domain's candidates — the semantics
+      * that matter at scale — while every run with the same seed is
+      * bit-reproducible (what makes the conformance oracles possible;
+      * the reference's nondeterministic `random` has no oracle at all).
+      * Score-class precedence (probes > home > interest > other) is
+      * unchanged: the permutation only replaces the within-class
+      * tiebreak, exactly like the reference randomizes within each
+      * _schedule_requests call but not across score classes. None =
+      * deterministic first-N extraction order. */
+    randomSeed: Option[Long] = None)
 
 /** Spark-native crawl frontier over bucketed snapshot tables.
   *
@@ -1088,18 +1103,26 @@ final class SparkFrontier(
     // first occurrence wins: order links by the dequeue order of their
     // parent (which follows the queue ordering), then extraction order —
     // reproduces the sequential schedule order of the reference manager
-    // loop under every ordering (score/FIFO/LIFO)
+    // loop under every ordering (score/FIFO/LIFO). Under a discovery
+    // randomSeed the extraction-order tiebreak becomes the seeded
+    // permutation (consume_randomly: links schedule in random order, so
+    // caps keep a random sample; md5(seed|url) rank = the deterministic
+    // uniform shuffle)
+    val linkTiebreak: Seq[Column] = discovery.flatMap(_.randomSeed) match {
+      case Some(seed) =>
+        Seq(md5(concat_ws("|", lit(seed.toString), $"link_url")).asc,
+          $"link_url".asc)
+      case None => Seq($"link_idx".asc, $"link_url".asc)
+    }
     val parentOrder = ordering match {
       case graft.local.QueueOrdering.Fifo =>
-        Seq($"parent_created".asc, $"link_idx".asc, $"link_url".asc)
+        $"parent_created".asc +: linkTiebreak
       case graft.local.QueueOrdering.Lifo =>
-        Seq($"parent_created".desc, $"link_idx".asc, $"link_url".asc)
+        $"parent_created".desc +: linkTiebreak
       case graft.local.QueueOrdering.ScoreCreatedDesc =>
-        Seq($"parent_score".desc, $"parent_created".asc, $"link_idx".asc,
-          $"link_url".asc)
+        Seq($"parent_score".desc, $"parent_created".asc) ++ linkTiebreak
       case _ =>
-        Seq($"parent_score".asc, $"parent_created".asc, $"link_idx".asc,
-          $"link_url".asc)
+        Seq($"parent_score".asc, $"parent_created".asc) ++ linkTiebreak
     }
     val firstW = Window.partitionBy($"fingerprint").orderBy(parentOrder: _*)
     val deduped = l0.withColumn("__occ", row_number().over(firstW))
@@ -1188,8 +1211,9 @@ final class SparkFrontier(
       broadcast(seenThisBatch), Seq("fingerprint"), "left_anti")
     // MAX_SITEMAPS guard (discovery/__init__.py:21,359-362): a sitemap
     // index can enumerate unbounded sub-sitemaps — cap probe links per
-    // parent response (first N by extraction order; the reference
-    // random-samples the same cap)
+    // parent response (first N by extraction order; with a randomSeed,
+    // the N kept are the seeded permutation's best — random.sample
+    // parity, discovery/__init__.py:359-362)
     val fresh = discovery match {
       case Some(d) if d.maxSitemapsPerParent > 0 =>
         // one pass: rank probe and non-probe links in separate window
@@ -1198,7 +1222,7 @@ final class SparkFrontier(
         // dedup/anti-join chain twice per discovery epoch
         val isProbeLink = parentIsProbe && isProbeUrl($"link_url")
         val w = Window.partitionBy($"parent_url", isProbeLink)
-          .orderBy($"link_idx".asc, $"link_url".asc)
+          .orderBy(linkTiebreak: _*)
         fresh0.withColumn("__sm", row_number().over(w))
           .filter(!isProbeLink || $"__sm" <= d.maxSitemapsPerParent)
           .drop("__sm")
@@ -1257,11 +1281,19 @@ final class SparkFrontier(
             $"banned".as("__banned"), $"fatal_error".as("__fatal"))
         // budget keeps the BEST-ranked links under the active dequeue
         // ordering (under ScoreCreatedDesc, discovery's home/probe links
-        // must win the budget, not lose it)
+        // must win the budget, not lose it). With a randomSeed the
+        // within-score tiebreak is the seeded permutation, so the budget
+        // keeps a uniform random sample per score class (consume_randomly
+        // under the queued_pages LIMIT, discovery/__init__.py:431-455)
+        val budgetTiebreak: Seq[Column] = d.randomSeed match {
+          case Some(seed) =>
+            Seq(md5(concat_ws("|", lit(seed.toString), $"url")).asc, $"url".asc)
+          case None => Seq($"created_at".asc, $"url".asc)
+        }
         val budgetOrder = ordering match {
           case graft.local.QueueOrdering.ScoreCreatedDesc =>
-            Seq($"score".desc, $"created_at".asc, $"url".asc)
-          case _ => Seq($"score".asc, $"created_at".asc, $"url".asc)
+            $"score".desc +: budgetTiebreak
+          case _ => $"score".asc +: budgetTiebreak
         }
         // two-phase rank: phase 1 caps each (domain, salt) group at the
         // budget, phase 2 ranks the ≤ salts×budget survivors per domain.
