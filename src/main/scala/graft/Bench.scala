@@ -39,7 +39,8 @@ object Bench {
     val frontier = new SparkFrontier(spark, root,
       partitions = spark.sparkContext.defaultParallelism,
       stateBuckets = spark.sparkContext.defaultParallelism,
-      strategy = ScoreStrategy.BFS, globalOrder = false)
+      strategy = ScoreStrategy.BFS, globalOrder = false,
+      asyncDequeueCommit = true)
     val t0 = System.nanoTime()
     frontier.addSeeds(graph.seeds)
     val crawler = new SparkCrawler(frontier, web, mnrPerPartition,
@@ -104,11 +105,36 @@ object Bench {
     val frontier = new SparkFrontier(spark, root,
       partitions = storeParts,
       stateBuckets = storeParts,
-      strategy = ScoreStrategy.BFS, globalOrder = false)
+      strategy = ScoreStrategy.BFS, globalOrder = false,
+      asyncDequeueCommit = true)
     frontier.bulkSchedule(spark.range(n).select(
       concat(lit("http://host"), $"id" % hosts, lit(".example/p/"), $"id").as("url"),
       (($"id" % 100).cast("double") / 100.0).as("score"),
       ($"id" % 4).cast("int").as("depth")))
+    // untimed warmup: a throwaway mini-drain through the SAME dequeue +
+    // verify shapes, so the timed window measures data-parallel frontier
+    // work, not this session's one-time JIT/codegen constants (each
+    // parallelism level runs in a fresh session; a real N→4N executor
+    // resize serves from warm JVMs — the probe shows ~2s of first-epoch
+    // codegen that would otherwise land inside every measured drain and
+    // dilute the scaling ratio at both levels)
+    locally {
+      val wroot = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      val wf = new SparkFrontier(spark, wroot, partitions = storeParts,
+        stateBuckets = storeParts, strategy = ScoreStrategy.BFS,
+        globalOrder = false)
+      wf.bulkSchedule(spark.range(4096).select(
+        concat(lit("http://warm"), $"id" % 7, lit(".example/p/"), $"id").as("url"),
+        lit(0.5).as("score"), lit(0).as("depth")))
+      val wb = wf.nextBatch(4096 / storeParts + 1)
+      wb.select($"url", $"depth").as[(String, Int)]
+        .map { case (url, depth) =>
+          graft.images.ImageSynth.verifyRow(url, depth,
+            graft.images.ImageSynth.rowFor(url, depth, 64, 64)) }
+        .filter(!_).count()
+      wb.unpersist()
+      deleteRec(new java.io.File(wroot))
+    }
     val t0 = System.nanoTime()
     var crawled = 0L
     var failures = 0L

@@ -60,6 +60,7 @@ object BenchProbe {
       }
     })
     val root = java.nio.file.Files.createTempDirectory("graft-cprobe").toString
+    val disc = !big && sys.env.contains("GRAFT_PROBE_DISC")
     val graph =
       if (big) graft.local.Graphs.benchGraph(600, 4, 8)
       else graft.local.Graphs.site01
@@ -68,14 +69,40 @@ object BenchProbe {
         partitions = spark.sparkContext.defaultParallelism,
         stateBuckets = spark.sparkContext.defaultParallelism,
         strategy = ScoreStrategy.BFS, globalOrder = false)
+      else if (disc) new SparkFrontier(spark, root, partitions = 4,
+        stateBuckets = 4, strategy = ScoreStrategy.Basic, globalOrder = true,
+        ordering = graft.local.QueueOrdering.ScoreCreatedDesc,
+        discovery = Some(graft.spark.DiscoveryConfig(maxPagesPerDomain = 100,
+          sameDomainOnly = true, justifyScores = true)))
       else new SparkFrontier(spark, root, partitions = 4,
         stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true)
-    val web = graft.spark.GraphTables.webDF(spark, graph).cache()
+    import spark.implicits._
+    // GRAFT_PROBE_DISC: the q_frontier_discovery shape (robots + sitemap
+    // probes, budget joins, domain-meta merges — the discovery epoch's
+    // extra fixed cost, attributable per epoch)
+    val web =
+      if (disc) Seq(("http://www.x.com/",
+        Seq("http://www.x.com/a", "http://www.x.com/private/1",
+          "http://www.x.com/b", "http://other.com/x")))
+        .toDF("url", "outlinks").cache()
+      else graft.spark.GraphTables.webDF(spark, graph).cache()
     web.count()
-    frontier.addSeeds(graph.seeds)
+    val bodies =
+      if (disc) Some(Seq(
+        ("http://www.x.com/robots.txt",
+          "User-agent: *\nDisallow: /private\nSitemap: http://www.x.com/sitemap.xml\n"),
+        ("http://www.x.com/sitemap.xml",
+          "<urlset><url><loc>http://www.x.com/c</loc></url>" +
+            "<url><loc>http://www.x.com/d</loc></url></urlset>"))
+        .toDF("url", "body"))
+      else None
+    if (disc) frontier.addSeedsDiscovery(Seq("http://www.x.com/somewhere"))
+    else frontier.addSeeds(graph.seeds)
     val crawler =
       if (big) new graft.spark.SparkCrawler(frontier, web, 16384,
         collectSequence = false, verifyPayloadOnFetch = true)
+      else if (disc) new graft.spark.SparkCrawler(frontier, web, 100,
+        bodies = bodies)
       else new graft.spark.SparkCrawler(frontier, web, 10)
     var e = frontier.epoch
     var continue = true

@@ -188,7 +188,18 @@ final class SparkFrontier(
       * batch budget is "busy" and skipped by the next dequeue until its
       * results are processed. Off by default (the synchronous epoch loop
       * is self-gating); enable for pipelined/async fetching. */
-    val flowControl: Boolean = false) extends Serializable {
+    val flowControl: Boolean = false,
+    /** overlap the dequeue's residue-rewrite commit with the caller's
+      * fetch stage: `nextBatch` returns as soon as the batch is
+      * materialized and commits the rewrite on a background thread;
+      * every other queue-store entry point joins the pending commit
+      * first, so store state is always consistent at the API surface.
+      * Crash semantics are unchanged (same atomic manifest flip — a
+      * crash before it replays the batch, exactly like crashing between
+      * scan and rewrite today). This is how a real cluster hides commit
+      * latency behind fetch I/O. Off by default: the conformance suites
+      * assert on-disk layout immediately after nextBatch returns. */
+    val asyncDequeueCommit: Boolean = false) extends Serializable {
 
   import spark.implicits._
 
@@ -257,8 +268,10 @@ final class SparkFrontier(
   /** Epoch clock: the queue manifest's epoch, or the last fully-processed
     * epoch when newer (an epoch that scheduled nothing skips its empty
     * queue commit, so the marker can run ahead of the queue manifest). */
-  def epoch: Long =
+  def epoch: Long = {
+    awaitQueueCommit()
     math.max(math.max(queue.readManifest().epoch, lastProcessedEpoch), 0L)
+  }
 
   private def sbucketCol(fp: Column): Column =
     pmod(xxhash64(fp), lit(stateBuckets)).cast(IntegerType)
@@ -601,7 +614,14 @@ final class SparkFrontier(
     * a fingerprint→band hint in the manifest would prune it. The
     * rewrite side is band-pruned regardless. Returns the number of
     * rows re-scored. */
-  def updateScores(updates: DataFrame): Long = queue.withTableLock {
+  def updateScores(updates: DataFrame): Long = {
+    // join the pending async dequeue commit BEFORE taking the table lock:
+    // the commit thread needs that lock, so awaiting inside it deadlocks
+    awaitQueueCommit()
+    updateScoresLocked(updates)
+  }
+
+  private def updateScoresLocked(updates: DataFrame): Long = queue.withTableLock {
     val up0 = identity(updates.select(col("url"), col("score")), "url")
       .select($"fingerprint".as("__fp"), $"partition_id".as("__pid"),
         $"score".as("__newscore"))
@@ -652,6 +672,7 @@ final class SparkFrontier(
     * (url, score, depth); identity columns and partitioning are computed
     * here, created_at from a hash (arbitrary-but-deterministic order). */
   def bulkSchedule(df: DataFrame): Unit = {
+    awaitQueueCommit()
     val rows = identity(df, "url")
       .withColumn("created_at", pmod(xxhash64(col("url")), lit(1L << 40)))
       .withColumn("crawl_at", lit(0L))
@@ -692,6 +713,23 @@ final class SparkFrontier(
       scanSec: Double = 0.0, rewriteSec: Double = 0.0)
   @volatile var lastScan: ScanStats = ScanStats(0, 0, 0)
 
+  /** In-flight background dequeue commit (asyncDequeueCommit mode). */
+  @transient @volatile private var pendingCommit: java.util.concurrent.Future[_] = null
+  @transient private lazy val commitPool =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-queue-commit"); t.setDaemon(true); t
+    })
+  /** Join the in-flight dequeue commit before any other queue-store
+    * access — store state is always consistent at the API surface; a
+    * failed background commit resurfaces here. */
+  private def awaitQueueCommit(): Unit = {
+    val p = pendingCommit
+    if (p != null) {
+      pendingCommit = null
+      p.get() // rethrows an ExecutionException wrapping the failure
+    }
+  }
+
   /** Dequeue one batch: the reference get_next_requests hot path
     * (SURVEY §3.1). Returns the batch and removes it from the queue.
     *
@@ -710,6 +748,7 @@ final class SparkFrontier(
     * GET_RETRIES) while a bucket's batch has fewer distinct hosts. */
   def nextBatch(maxNextRequests: Int, atEpoch: Long = -1L,
       minHosts: Int = 0): DataFrame = {
+    awaitQueueCommit()
     val tStart = System.nanoTime()
     // crawl_at visibility (delayed revisit): invisible rows stay queued
     val nowEpoch = if (atEpoch >= 0) atEpoch else epoch
@@ -919,33 +958,46 @@ final class SparkFrontier(
     val touchedGroups = (batchGroups.map(t => (t._1, t._2)) ++ blGroups).distinct
       .map { case (b, band) => (b, band, batchCounts.getOrElse((b, band), 0L)) }
     val tRewrite0 = System.nanoTime()
-    if (touchedGroups.nonEmpty) {
-      val touchedKeys = touchedGroups.map { case (b, band, _) => s"${b}_$band" }.toSet
-      val removePaths = touchedGroups.flatMap { case (b, band, _) =>
-        prefix.getOrElse(b, Vector.empty).collect { case (`band`, ps) => ps }.flatten
-      }.toSet
-      val groupKey = concat_ws("_", $"partition_id", bandExpr)
-      val remaining = tagged
-        .filter(!$"__sel" && !$"__bl" && groupKey.isInCollection(touchedKeys))
-        .select(queueSchema.fieldNames.map(col): _*)
-      val perPartition = touchedGroups.groupBy(_._1).view.mapValues(_.map(_._3).sum)
-      // A7: bump the in-flight gauge of every partition this batch drew from
-      val fcProps =
-        if (!flowControl) Map.empty[String, String]
-        else perPartition.map { case (b, n) =>
-          s"fc.p$b" -> (inflight(b) + n).toString }.toMap
-      queue.replacePaths(withBand(remaining), epoch, removePaths,
-        counters = Map("dequeued" -> touchedGroups.map(_._3).sum) ++
-          perPartition.map { case (p, n) => s"dequeued.p$p" -> n },
-        props = fcProps)
+    val scannedN =
+      prefix.valuesIterator.map(_.iterator.map(_._2.size).sum).sum
+    val scanSecV = (tRewrite0 - tStart) / 1e9
+    lastScan = ScanStats(scannedN, totalPaths, tries, scanSec = scanSecV)
+    // the commit epoch must be read BEFORE handing off to the background
+    // thread (epoch() itself joins pending commits)
+    val commitEpoch = epoch
+    val taggedRef = tagged
+    val doCommit: () => Unit = () => {
+      if (touchedGroups.nonEmpty) {
+        val touchedKeys = touchedGroups.map { case (b, band, _) => s"${b}_$band" }.toSet
+        val removePaths = touchedGroups.flatMap { case (b, band, _) =>
+          prefix.getOrElse(b, Vector.empty).collect { case (`band`, ps) => ps }.flatten
+        }.toSet
+        val groupKey = concat_ws("_", $"partition_id", bandExpr)
+        val remaining = taggedRef
+          .filter(!$"__sel" && !$"__bl" && groupKey.isInCollection(touchedKeys))
+          .select(queueSchema.fieldNames.map(col): _*)
+        val perPartition = touchedGroups.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+        // A7: bump the in-flight gauge of every partition this batch drew from
+        val fcProps =
+          if (!flowControl) Map.empty[String, String]
+          else perPartition.map { case (b, n) =>
+            s"fc.p$b" -> (inflight(b) + n).toString }.toMap
+        queue.replacePaths(withBand(remaining), commitEpoch, removePaths,
+          counters = Map("dequeued" -> touchedGroups.map(_._3).sum) ++
+            perPartition.map { case (p, n) => s"dequeued.p$p" -> n },
+          props = fcProps)
+      }
+      taggedRef.unpersist()
+      lastScan = ScanStats(scannedN, totalPaths, tries, scanSec = scanSecV,
+        rewriteSec = (System.nanoTime() - tRewrite0) / 1e9)
     }
-    tagged.unpersist()
-    val tEnd = System.nanoTime()
-    lastScan = ScanStats(
-      prefix.valuesIterator.map(_.iterator.map(_._2.size).sum).sum,
-      totalPaths, tries,
-      scanSec = (tRewrite0 - tStart) / 1e9,
-      rewriteSec = (tEnd - tRewrite0) / 1e9)
+    if (asyncDequeueCommit)
+      // overlap the residue rewrite with the caller's fetch stage; every
+      // queue-store entry point joins it via awaitQueueCommit()
+      pendingCommit = commitPool.submit(new Runnable {
+        override def run(): Unit = doCommit()
+      })
+    else doCommit()
     batch
   }
 
@@ -956,10 +1008,12 @@ final class SparkFrontier(
     * written by older builds carried it in the queue manifest; both are
     * read). */
   private val jidKey = "jid.lastProcessed"
-  def lastProcessedEpoch: Long =
+  def lastProcessedEpoch: Long = {
+    awaitQueueCommit()
     math.max(
       states.readManifest().props.get(jidKey).map(_.toLong).getOrElse(-1L),
       queue.readManifest().props.get(jidKey).map(_.toLong).getOrElse(-1L))
+  }
 
   /** Process crawl results: `pages` = the fetched batch (must carry
     * fingerprint/url/depth/score/created_at), `links` = extracted links
@@ -1501,8 +1555,10 @@ final class SparkFrontier(
     * (appends add one dir per commit; cold bands the dequeue never
     * rewrites accumulate them — run between epochs, like Iceberg's
     * rewrite_data_files). Returns leaves compacted. */
-  def compactQueue(maxFilesPerBand: Int = 8): Int =
+  def compactQueue(maxFilesPerBand: Int = 8): Int = {
+    awaitQueueCommit()
     queue.compact(spark, maxFilesPerBand, withBand)
+  }
 
   /** Compact the append-only metadata table's buckets. */
   def compactMetadata(maxFilesPerBucket: Int = 16): Int =
@@ -1514,5 +1570,8 @@ final class SparkFrontier(
     readStatesLatest().select($"fingerprint", $"state").as[(String, Int)]
       .collect().toMap
 
-  def queueSize(): Long = queue.read(spark).count()
+  def queueSize(): Long = {
+    awaitQueueCommit()
+    queue.read(spark).count()
+  }
 }
