@@ -66,11 +66,26 @@ object SparkEntry {
     c.run(maxEpochs = 20).zipWithIndex.toDF("url", "crawl_pos")
   }
 
+  /** End-to-end BFS crawl over the two-host SITE_02 oracle graph: the
+    * reference's published BFS SEQUENCE_02_A (tests/backends.py:201-207,
+    * pinned for every max_next_requests in 1..100). */
+  private def qFrontierCrawlBfs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-bfs").toString
+    val graph = Graphs.site02
+    val frontier = new SparkFrontier(spark, root, partitions = 4,
+      stateBuckets = 4, strategy = ScoreStrategy.BFS, globalOrder = true)
+    frontier.addSeeds(graph.seeds)
+    val crawler = new SparkCrawler(frontier, GraphTables.webDF(spark, graph), 100)
+    crawler.run().zipWithIndex.toDF("url", "crawl_pos")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.ops.PipelineOps.queries +
       ("q_frontier_crawl_dfs" -> (qFrontierCrawl _)) +
+      ("q_frontier_crawl_bfs" -> (qFrontierCrawlBfs _)) +
       ("q_frontier_discovery" -> (qFrontierDiscovery _))
 
   /** The expected DFS crawl order of SITE_01 at max_next_requests=10
@@ -104,11 +119,31 @@ object SparkEntry {
       .map { case (u, i) => s"('$u', $i)" }
       .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(url, crawl_pos)")
 
+  /** The reference's published BFS crawl order for SITE_02
+    * (tests/backends.py:201-207, SEQUENCE_02_A): per-level host
+    * interleaving aaa before bbb, stable for every mnr in 1..100. */
+  private val bfsSite02: Seq[String] = {
+    // per-depth page ids of the binary-tree fixture sites: "1", then
+    // "11","12", then "111".. — depth d = all length-(d+1) digit strings
+    def lvl(depth: Int): Seq[String] = for {
+      host <- Seq("aaa", "bbb")
+      path <- Seq.fill(depth)(Seq("1", "2"))
+        .foldLeft(Seq("1"))((acc, d) => for (a <- acc; x <- d) yield a + x)
+    } yield s"http://$host.com/$path"
+    (0 to 3).flatMap(lvl)
+  }
+
+  private val qFrontierCrawlBfsSql: String =
+    bfsSite02.zipWithIndex
+      .map { case (u, i) => s"('$u', $i)" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(url, crawl_pos)")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (the frontier crawl's oracle is its pinned
     * reference sequence as an inline VALUES table). */
   def oracleSql: Map[String, String] =
     graft.ops.PipelineOps.oracleSql +
       ("q_frontier_crawl_dfs" -> qFrontierCrawlSql) +
+      ("q_frontier_crawl_bfs" -> qFrontierCrawlBfsSql) +
       ("q_frontier_discovery" -> qFrontierDiscoverySql)
 }

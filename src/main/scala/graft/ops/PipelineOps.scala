@@ -895,6 +895,45 @@ object PipelineOps {
       |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
       |FROM documents""".stripMargin
 
+  /** Frame-sampling plumbing for video-like payloads: the payload splits
+    * into fixed-size frames (posexplode over a computed frame index),
+    * every k-th frame is kept, and each kept frame yields a digest +
+    * typed metadata — the exact Spark shape of video frame-sampling at
+    * 100 TB (explode → slice → per-frame feature, all codegen'd; the
+    * real decoder drops into the slice step, here a deterministic
+    * byte-slice stands in per the no-codec-libs constraint; the REAL
+    * binary decode path is exercised by ImageSpec/ImageOps on
+    * synthesized images). Scale: one generate + project pass, no
+    * shuffle, no driver involvement. */
+  def qMultimodalFramesample(spark: SparkSession, dir: String): DataFrame = {
+    val frameChars = 16
+    val every = 4
+    t(spark, dir, "documents")
+      // sub-frame-size docs yield no frames (sequence needs start<=stop)
+      .filter(length(col("text")) >= frameChars)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor(length(col("text")) / frameChars).cast(IntegerType) - 1))
+          .as("frame_idx"))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        md5(expr(s"substring(text, 1 + frame_idx * $frameChars, $frameChars)")).as("frame_md5"),
+        length(expr(s"substring(text, 1 + frame_idx * $frameChars, $frameChars)"))
+          .cast(LongType).as("frame_len"))
+  }
+
+  val qMultimodalFramesampleSql: String =
+    """WITH frames AS (
+      |  SELECT doc_id, f.i AS frame_idx,
+      |         substr(text, 1 + f.i * 16, 16) AS frame
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(range(0, CAST(floor(length(text) / 16) AS BIGINT))) AS i) f
+      |)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       md5(frame) AS frame_md5,
+      |       CAST(length(frame) AS BIGINT) AS frame_len
+      |FROM frames WHERE frame_idx % 4 = 0""".stripMargin
+
   // =====================================================================
   // Domain-control operators (ban flags, blacklist, score updates,
   // redirect sets — the round-3 engine features, as oracle queries)
@@ -1060,6 +1099,7 @@ object PipelineOps {
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_framesample" -> (qMultimodalFramesample _),
     "q_domain_ban_filter" -> (qDomainBanFilter _),
     "q_f4_blacklist" -> (qF4Blacklist _),
     "q_score_update" -> (qScoreUpdate _),
@@ -1098,6 +1138,7 @@ object PipelineOps {
     "q_text_langid" -> qTextLangidSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_multimodal_framesample" -> qMultimodalFramesampleSql,
     "q_domain_ban_filter" -> qDomainBanFilterSql,
     "q_f4_blacklist" -> qF4BlacklistSql,
     "q_score_update" -> qScoreUpdateSql,
