@@ -235,8 +235,14 @@ object Bench {
     val best = scala.collection.mutable.Map(
       levels.map(_ -> (0L, Double.MaxValue)): _*)
     val ceilings = scala.collection.mutable.ArrayBuffer.empty[Double]
-    (1 to 3).foreach { _ =>
-      for (level <- levels) {
+    // round 4 runs ONLY the graded lo/mid pair (both ends, symmetric):
+    // this VM's noise comes in minutes-scale windows, and with 3 rounds
+    // a single slow window can capture every sample of one level — the
+    // ratio then measures the window, not the engine. A 4th interleaved
+    // sample of each ratio end halves that exposure.
+    val rounds: Seq[Seq[Int]] = Seq(levels, levels, levels, Seq(lo, mid).distinct)
+    rounds.foreach { levelsThisRound =>
+      for (level <- levelsThisRound) {
         val s = session(level)
         // same store layout + same per-partition budget (= same TOTAL
         // batch) at every level — only the worker count varies
