@@ -15,6 +15,11 @@ sealed trait BusCodec {
   def decode(frame: Array[Byte]): BusMessage
   def encodeRequest(r: WireRequest): Array[Byte]
   def decodeRequest(frame: Array[Byte]): WireRequest
+  /** Envelope kind without a payload decode — `"of"`, `"pc"`, `"re"`,
+    * or `""` for everything else. The worker's driver-side drain scan
+    * classifies 4096 frames/cycle with this; only Offset frames (a few
+    * dozen bytes) decode on the driver, the rest decode DISTRIBUTED. */
+  def kindOf(frame: Array[Byte]): String
 }
 object BusCodec {
   case object Json extends BusCodec {
@@ -22,12 +27,27 @@ object BusCodec {
     def decode(frame: Array[Byte]): BusMessage = JsonCodec.decode(new String(frame, UTF_8))
     def encodeRequest(r: WireRequest): Array[Byte] = JsonCodec.encodeRequest(r).getBytes(UTF_8)
     def decodeRequest(frame: Array[Byte]): WireRequest = JsonCodec.decodeRequest(new String(frame, UTF_8))
+    def kindOf(frame: Array[Byte]): String =
+      // the ("type", tag) pair sits in the first ~60 bytes; decode only those
+      JsonCodec.peekTag(
+        new String(frame, 0, math.min(frame.length, 64), UTF_8)) match {
+        case "offset" => "of"
+        case "page_crawled" => "pc"
+        case "request_error" => "re"
+        case _ => ""
+      }
   }
   case object Msgpack extends BusCodec {
     def encode(msg: BusMessage): Array[Byte] = MsgpackCodec.encode(msg)
     def decode(frame: Array[Byte]): BusMessage = MsgpackCodec.decode(frame)
     def encodeRequest(r: WireRequest): Array[Byte] = MsgpackCodec.encodeRequest(r)
     def decodeRequest(frame: Array[Byte]): WireRequest = MsgpackCodec.decodeRequest(frame)
+    def kindOf(frame: Array[Byte]): String = MsgpackCodec.peekTag(frame) match {
+      case "of" => "of"
+      case "pc" => "pc"
+      case "re" => "re"
+      case _ => ""
+    }
   }
 }
 
@@ -174,16 +194,20 @@ final class SparkBusWorker(
   private def applySpiderLog(frames: Vector[Array[Byte]]): Boolean = {
     // driver-side envelope scan: forward Offset messages to the feed's
     // flow control and count fetch completions (pc/re) against the
-    // scheduled count — the worker's drain condition. The frontier-state
-    // decode below still runs distributed; this scan is bounded by
-    // drainPollSize per cycle.
+    // scheduled count — the worker's drain condition. Only the TAG is
+    // peeked per frame (kindOf — no payload parse); full driver-side
+    // decode happens for the tiny Offset frames alone, so a
+    // LinksExtracted payload is parsed exactly once, distributed.
     var stateful = 0
     frames.foreach { f =>
-      codec.decode(f) match {
-        case BusMessage.Offset(p, off) =>
-          bus.spiderFeed.reportConsumerOffset(p.toInt, off)
-        case _: BusMessage.PageCrawled | _: BusMessage.RequestError =>
-          urlsProcessed += 1; stateful += 1
+      codec.kindOf(f) match {
+        case "of" =>
+          codec.decode(f) match {
+            case BusMessage.Offset(p, off) =>
+              bus.spiderFeed.reportConsumerOffset(p.toInt, off)
+            case _ => stateful += 1 // mis-peeked frame: let the replay see it
+          }
+        case "pc" | "re" => urlsProcessed += 1; stateful += 1
         case _ => stateful += 1
       }
     }

@@ -266,6 +266,11 @@ final class SpiderFeed private[bus] (
     dir: Path, val partitions: Int, maxNextRequests: Int) {
   import LogBus._
   private val ready = scala.collection.mutable.Set[Int]((0 until partitions): _*)
+  // cached: lag()/availablePartitions() run on the worker's poll loop —
+  // constructing a PartitionLog per call would re-run createDirectories
+  // and allocate on every 2-10ms iteration
+  private val logs =
+    (0 until partitions).map(p => p -> new PartitionLog(dir.resolve(s"p$p"))).toMap
 
   def producer(): LogStreamProducer =
     new LogStreamProducer(dir, partitions, Hashing.crc32Partition)
@@ -274,21 +279,25 @@ final class SpiderFeed private[bus] (
 
   /** The ZMQ-topology offset report path: the DB worker observed a
     * spider's `Offset` message on the spider log and forwards it here.
-    * The file write mirrors the consumer's own auto-commit (same file) —
-    * record count only; byte position advances on the spider's side. */
+    * Written to its OWN file (`reported-spider`), not the consumer's
+    * auto-commit file: the spider owns `consumed-spider` (single
+    * writer), so a worker report can never race it into a stale or torn
+    * byte position — `lag` takes the max of the two record counts.
+    * Reports are worker-local (one flow-control observer per feed
+    * partition, like the reference's batchgen ownership), so the
+    * monotonic check below is single-writer too. */
   def reportConsumerOffset(partitionId: Int, offset: Long): Unit = {
-    val f = dir.resolve(s"p$partitionId").resolve("consumed-spider")
-    val (recs, bytes) = readCommit(f)
-    if (offset > recs) writeCommitAtomic(f, offset, bytes)
+    val f = dir.resolve(s"p$partitionId").resolve("reported-spider")
+    val (recs, _) = readCommit(f)
+    if (offset > recs) writeCommitAtomic(f, offset, 0L)
   }
 
   private def consumedOffset(p: Int): Long =
-    readCommit(dir.resolve(s"p$p").resolve("consumed-spider"))._1
+    math.max(readCommit(dir.resolve(s"p$p").resolve("consumed-spider"))._1,
+      readCommit(dir.resolve(s"p$p").resolve("reported-spider"))._1)
 
-  def lag(p: Int): Long = {
-    val produced = new PartitionLog(dir.resolve(s"p$p")).committed._1
-    math.max(0L, produced - consumedOffset(p))
-  }
+  def lag(p: Int): Long =
+    math.max(0L, logs(p).committed._1 - consumedOffset(p))
 
   /** `kafkabus.py:197-202` ∧ `zeromq/__init__.py:187-194`. */
   def availablePartitions(): Set[Int] =

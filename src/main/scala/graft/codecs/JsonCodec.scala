@@ -20,10 +20,11 @@ import CValue._
   * codec itself; a reference deployment's JSON spider log replays into
   * this engine through `SpiderLogReplay`.
   *
-  * Deviation note: float formatting follows python `repr` for the
-  * values that appear in frontier traffic (scores, counters); doubles
-  * needing exponent notation format as Java's `1.0E22` vs python's
-  * `1e+22`. */
+  * Float formatting replicates python `repr` notation (fixed within
+  * [1e-4, 1e16), `me±dd` scientific outside, `-0.0` preserved) over
+  * the JVM's shortest-round-trip digits; the only residual deviation
+  * is pathological subnormals where pre-JDK-19 digit selection can
+  * differ from the correctly-rounded shortest. */
 object JsonCodec {
 
   // ---------------------------------------------------------------- encode
@@ -38,25 +39,61 @@ object JsonCodec {
       case '\t' => sb.append("\\t")
       case '\b' => sb.append("\\b")
       case '\f' => sb.append("\\f")
-      case c if c < 0x20 || c > 0x7e => sb.append(f"\\u${c.toInt}%04x")
+      // ensure_ascii escapes non-ASCII only — 0x7f (DEL) stays raw
+      case c if c < 0x20 || c > 0x7f => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }
     sb.append('"')
   }
 
-  private def fmtDouble(v: Double): String =
-    if (v == v.toLong && math.abs(v) < 1e16) s"${v.toLong}.0"
-    else {
-      val s = v.toString // shortest-roundtrip in JDK 17+
-      if (s.contains('E')) { // python style exponent, best effort
-        val Array(m, e) = s.split('E')
-        val sign = if (e.startsWith("-")) "-" else "+"
-        val digits = e.stripPrefix("-")
-        val exp = if (digits.length < 2) "0" + digits else digits
-        val mant = if (m.endsWith(".0")) m.dropRight(2) else m
-        s"${mant}e$sign$exp"
-      } else s
+  /** python `repr`/`json.dumps` float text: shortest round-trip digits,
+    * fixed notation for 1e-4 ≤ |v| < 1e16, else `me±dd` scientific
+    * (exponent ≥ 2 digits) — NOT Java's notation thresholds (1e-3/1e7),
+    * so the digits are re-rendered under python's rules. */
+  private def fmtDouble(v: Double): String = {
+    if (v.isNaN) return "NaN" // json.dumps defaults (allow_nan)
+    if (v.isInfinity) return if (v > 0) "Infinity" else "-Infinity"
+    if (java.lang.Double.doubleToRawLongBits(v) == Long.MinValue) return "-0.0"
+    if (v == v.toLong && math.abs(v) < 1e16) return s"${v.toLong}.0"
+    val s = v.toString
+    val neg = s.startsWith("-")
+    val body = if (neg) s.substring(1) else s
+    // shortest digits + normalized decimal exponent (value =
+    // d[0].d[1:] × 10^e). Java ≤18's digit selection can differ from
+    // the correctly-rounded shortest on pathological subnormals; for
+    // frontier traffic (scores, counters) the digits coincide.
+    val (digits0, e) =
+      if (body.contains('E')) {
+        val Array(m, ex) = body.split('E')
+        (m.replace(".", ""), ex.toInt)
+      } else {
+        val dot = body.indexOf('.')
+        val ip = body.substring(0, dot)
+        val fp = body.substring(dot + 1)
+        if (ip != "0") (ip + fp, ip.length - 1)
+        else {
+          val nz = fp.indexWhere(_ != '0')
+          (fp.substring(nz), -nz - 1)
+        }
+      }
+    val digits = {
+      val d = digits0.reverse.dropWhile(_ == '0').reverse
+      if (d.isEmpty) "0" else d
     }
+    val out =
+      if (e >= 16 || e < -4) {
+        val mant =
+          if (digits.length == 1) digits
+          else digits.substring(0, 1) + "." + digits.substring(1)
+        val sign = if (e < 0) "-" else "+"
+        val ed = math.abs(e).toString
+        s"${mant}e$sign${if (ed.length < 2) "0" + ed else ed}"
+      } else if (e >= 0) {
+        if (digits.length <= e + 1) digits.padTo(e + 1, '0').mkString + ".0"
+        else digits.substring(0, e + 1) + "." + digits.substring(e + 1)
+      } else "0." + ("0" * (-e - 1)) + digits
+    if (neg) "-" + out else out
+  }
 
   /** `_convert_and_save_type` + `json.dumps` in one pass. */
   private def write(v: CValue, sb: StringBuilder): Unit = v match {
@@ -143,6 +180,22 @@ object JsonCodec {
     }
     encodeValue(dict)
   }
+
+  /** Leading bytes of every encoded message up to the type value — the
+    * dict's first pair is always ("type", <tag>), and the wire format
+    * renders it identically for all messages. */
+  private val TypePrefix = "[\"dict\", [[[\"other\", \"type\"], [\"other\", \""
+
+  /** Envelope tag of a bus frame (`page_crawled`/`links_extracted`/
+    * `request_error`/`update_score`/`new_job_id`/`offset`/`stats`)
+    * without parsing the payload — a prefix match on the fixed
+    * `("type", tag)` first pair. "" if the frame isn't message-shaped. */
+  def peekTag(s: String): String =
+    if (s.startsWith(TypePrefix)) {
+      val start = TypePrefix.length
+      val end = s.indexOf('"', start)
+      if (end > start) s.substring(start, end) else ""
+    } else ""
 
   // ---------------------------------------------------------------- decode
 

@@ -77,6 +77,28 @@ object MsgpackCodec {
     bos.toByteArray
   }
 
+  /** Envelope tag of a bus frame (`pc`/`le`/`re`/`us`/`njid`/`of`/`st`)
+    * without decoding the payload — reads only the array header and the
+    * short bin/str tag element. "" if the frame isn't message-shaped. */
+  def peekTag(buf: Array[Byte]): String = {
+    if (buf.length < 3) return ""
+    var i = 0
+    val h = buf(i) & 0xff; i += 1
+    if ((h & 0xf0) == 0x90) () // fixarray
+    else if (h == 0xdc) i += 2
+    else if (h == 0xdd) i += 4
+    else return ""
+    if (i >= buf.length) return ""
+    val t = buf(i) & 0xff; i += 1
+    val len =
+      if (t == 0xc4 || t == 0xd9) { // bin8 / str8
+        if (i >= buf.length) return ""
+        val l = buf(i) & 0xff; i += 1; l
+      } else if ((t & 0xe0) == 0xa0) t & 0x1f // fixstr
+      else return ""
+    if (i + len > buf.length) "" else new String(buf, i, len, UTF_8)
+  }
+
   // ---------------------------------------------------------------- unpack
 
   private final class U(b: Array[Byte]) {

@@ -715,18 +715,27 @@ final class SparkFrontier(
 
   /** In-flight background dequeue commit (asyncDequeueCommit mode). */
   @transient @volatile private var pendingCommit: java.util.concurrent.Future[_] = null
+  /** Monitor pairing pendingCommit's handoff (submit) with its join —
+    * without it, two threads racing through entry points could both see
+    * the field mid-transition and one would proceed against the
+    * pre-commit manifest (double-serving the just-dequeued rows). */
+  @transient private lazy val commitGate = new Object
   @transient private lazy val commitPool =
     java.util.concurrent.Executors.newSingleThreadExecutor(r => {
       val t = new Thread(r, "graft-queue-commit"); t.setDaemon(true); t
     })
   /** Join the in-flight dequeue commit before any other queue-store
     * access — store state is always consistent at the API surface; a
-    * failed background commit resurfaces here. */
-  private def awaitQueueCommit(): Unit = {
+    * failed background commit resurfaces here (to the FIRST joining
+    * thread; later threads see a cleanly-absent commit). A concurrent
+    * joiner blocks until the first one's get() returns — atomic
+    * check-then-act, so no thread can slip past a still-running
+    * commit. */
+  private def awaitQueueCommit(): Unit = commitGate.synchronized {
     val p = pendingCommit
     if (p != null) {
-      pendingCommit = null
-      p.get() // rethrows an ExecutionException wrapping the failure
+      try p.get() // rethrows an ExecutionException wrapping the failure
+      finally pendingCommit = null
     }
   }
 
@@ -993,10 +1002,13 @@ final class SparkFrontier(
     }
     if (asyncDequeueCommit)
       // overlap the residue rewrite with the caller's fetch stage; every
-      // queue-store entry point joins it via awaitQueueCommit()
-      pendingCommit = commitPool.submit(new Runnable {
-        override def run(): Unit = doCommit()
-      })
+      // queue-store entry point joins it via awaitQueueCommit() (the
+      // commitGate makes the handoff atomic with those joins)
+      commitGate.synchronized {
+        pendingCommit = commitPool.submit(new Runnable {
+          override def run(): Unit = doCommit()
+        })
+      }
     else doCommit()
     batch
   }
@@ -1121,14 +1133,25 @@ final class SparkFrontier(
     val sameD = discovery.exists(_.sameDomainOnly)
     // the pruning set: supplied by the crawler when it collected the
     // batch anyway, else one small job over the page batch (O(batch),
-    // vs the O(all domains) read it prunes). Without sameDomainOnly the
-    // link domains are unbounded — fall back to unpruned reads.
+    // vs the O(all domains) read it prunes). ERRORED fetches are parents
+    // too — the home-page fallback above synthesizes links whose parent
+    // is the failed probe, and pruning domain_metadata to page domains
+    // only would hide the failed domain's banned/fatal/budget row from
+    // the very checks that must drop its fallback link. Without
+    // sameDomainOnly the link domains are unbounded — fall back to
+    // unpruned reads.
     val parentDB: Option[Set[Int]] =
       if (!sameD) None
-      else parentDBuckets.orElse(Some(
-        pages.select(host_partition(
+      else parentDBuckets.orElse {
+        val parentUrls = errors match {
+          case Some(err) => pages.select($"url")
+            .unionByName(err.select($"url"))
+          case None => pages.select($"url")
+        }
+        Some(parentUrls.select(host_partition(
             FrontierExprs.sld(url_host($"url")), partitions).as("db"))
-          .distinct().as[Int].collect().toSet))
+          .distinct().as[Int].collect().toSet)
+      }
     // F2/F3: filter_extracted_links — robots deny before the states
     // lookup (saves the KV fetch, exactly the reference's motivation).
     // The robots source is either the caller-supplied static table or,

@@ -46,10 +46,14 @@ object FetchGate {
           val tokens = math.min(capacity, prev.tokens + (
             if (state.exists) refillPerBatch else 0.0))
           // backlog first (FIFO), then this batch's arrivals in seq order
-          val queue = (prev.pending ++ incoming.toList.sortBy(_.seq))
-            .take(maxPending)
+          val queue = prev.pending ++ incoming.toList.sortBy(_.seq)
           val n = math.min(queue.length, tokens.toInt)
-          val (granted, deferred) = queue.splitAt(n)
+          val (granted, deferred0) = queue.splitAt(n)
+          // cap only what must WAIT: grants never drop to the pending
+          // bound (tokens available ⇒ the request goes through this
+          // batch); overflow drops the newest deferred arrivals, keeping
+          // the oldest-first fairness of the reference's pending deques
+          val deferred = deferred0.take(maxPending)
           state.update(GateState(tokens - n, deferred))
           if (deferred.nonEmpty) state.setTimeoutDuration(drainIntervalMs)
           granted.iterator.map(e => Granted(e.slot, e.url, e.seq))

@@ -139,6 +139,21 @@ class BusTopologySpec extends AnyFunSuite {
     assert(bus.spiderFeed.availablePartitions() == Set(0, 1))
   }
 
+  test("kindOf peeks the envelope tag without a payload decode") {
+    val pc = BusMessage.PageCrawled(WireResponse("http://a.com/", 200))
+    val re = BusMessage.RequestError(WireRequest("http://a.com/"), "err")
+    val of = BusMessage.Offset(2, 77)
+    val le = BusMessage.LinksExtracted(WireRequest("http://a.com/"), Vector())
+    for (c <- Seq[BusCodec](BusCodec.Json, BusCodec.Msgpack)) {
+      assert(c.kindOf(c.encode(pc)) == "pc", s"$c pc")
+      assert(c.kindOf(c.encode(re)) == "re", s"$c re")
+      assert(c.kindOf(c.encode(of)) == "of", s"$c of")
+      assert(c.kindOf(c.encode(le)) == "", s"$c le is not a drain-scan kind")
+      // consistency: the full decode agrees with the peek
+      assert(c.decode(c.encode(of)) == of)
+    }
+  }
+
   // ---------------- end-to-end topology conformance ----------------
 
   private def busCrawl(codec: BusCodec, spiders: Int): (Set[String],

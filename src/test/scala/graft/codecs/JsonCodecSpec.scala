@@ -120,4 +120,27 @@ class JsonCodecSpec extends AnyFunSuite {
     val msg: BusMessage = LinksExtracted(tricky, Vector(req, link1))
     assert(JsonCodec.decode(JsonCodec.encode(msg)) == msg)
   }
+
+  test("python float repr parity (json.dumps notation rules) + DEL passthrough") {
+    def f(d: Double): String = JsonCodec.encodeValue(CDouble(d))
+    // fixed notation for 1e-4 <= |v| < 1e16 — NOT Java's 1e-3/1e7 cutover
+    assert(f(0.0001) == "[\"other\", 0.0001]")
+    assert(f(12345678.5) == "[\"other\", 12345678.5]")
+    assert(f(1234567890123456.0) == "[\"other\", 1234567890123456.0]")
+    assert(f(0.25) == "[\"other\", 0.25]")
+    assert(f(0.001) == "[\"other\", 0.001]")
+    // scientific with python's e±dd outside that range
+    assert(f(1e-5) == "[\"other\", 1e-05]")
+    assert(f(-2.5e-7) == "[\"other\", -2.5e-07]")
+    assert(f(1e16) == "[\"other\", 1e+16]")
+    assert(f(1e22) == "[\"other\", 1e+22]")
+    assert(f(1.5e22) == "[\"other\", 1.5e+22]")
+    // signed zero survives (python repr(-0.0) == '-0.0')
+    assert(f(-0.0) == "[\"other\", -0.0]")
+    // DEL (0x7f) is ASCII — ensure_ascii leaves it raw; 0x80 is escaped
+    val del = "a" + 0x7f.toChar + "b"
+    assert(JsonCodec.encodeValue(CStr(del)) == "[\"other\", \"" + del + "\"]")
+    assert(JsonCodec.encodeValue(CStr("a" + 0x80.toChar + "b")) ==
+      "[\"other\", \"a\\u0080b\"]")
+  }
 }

@@ -107,4 +107,35 @@ class HomeFallbackSpec extends AnyFunSuite {
       s"sitemap directives from an invalid robots body must not be probed: $seq")
     assert(seq.contains("http://inv.com/a"))
   }
+
+  test("errored probe's fallback sees its domain's ban row under pruned reads") {
+    // regression: processCrawled's internally-derived domain-bucket
+    // pruning set must cover ERROR parents too — an epoch whose pages
+    // all hash elsewhere would otherwise prune the failed domain's
+    // banned/fatal/budget row out of the very join that must drop its
+    // home-page fallback (no caller-supplied parentDBuckets here: the
+    // bus-replay / bench-mode path)
+    val root = Files.createTempDirectory("graft-hfbanprune").toString
+    val f = discFrontier(root)
+    val part = (h: String) => graft.core.Hashing.crc32Partition(h, 4)
+    val banned = (1 to 50).map(i => s"banned$i.com")
+      .find(h => part(h) != part("pages.com")).get
+    f.banDomains(Seq(banned))
+    val pages = Seq((graft.core.Hashing.urlFingerprint("http://pages.com/x"),
+      "http://pages.com/x", 1, 0.5, 10L))
+      .toDF("fingerprint", "url", "depth", "score", "created_at")
+    val links = Seq(("http://pages.com/x", 0.5, 10L, 1, 0, "http://pages.com/y"))
+      .toDF("parent_url", "parent_score", "parent_created", "parent_depth",
+        "link_idx", "link_url")
+    val errors = Seq(
+      (graft.core.Hashing.urlFingerprint(s"http://$banned/robots.txt"),
+        s"http://$banned/robots.txt", 0.9, 0, 10L, "fetch failed: 404"))
+      .toDF("fingerprint", "url", "score", "depth", "created_at", "error")
+    f.processCrawled(pages, links, f.epoch + 1, errors = Some(errors))
+    val queued = f.queue.read(spark).select($"url").as[String].collect().toSet
+    assert(queued.contains("http://pages.com/y"),
+      s"the healthy domain's link still schedules: $queued")
+    assert(!queued.exists(_.contains(banned)),
+      s"banned domain's home-page fallback must be dropped: $queued")
+  }
 }

@@ -79,4 +79,41 @@ class FetchGateSpec extends AnyFunSuite {
         case 6 => ("b.com", 6L); case i => ("a.com", i) }.toSet, "late arrival")
     } finally q.stop()
   }
+
+  test("maxPending caps only what must WAIT — available tokens always grant") {
+    // regression: a burst larger than maxPending but within the token
+    // budget must pass entirely in its batch; only the deferred
+    // remainder is subject to the pending cap (newest-dropped)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[GateEvent]
+    val gated = FetchGate(input.toDS(), capacity = 5.0, refillPerBatch = 5.0,
+      maxPending = 2, drainIntervalMs = 50)
+    val grants = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = gated.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Granted], _: Long) =>
+        b.collect().foreach(g => grants.add(g.seq))
+        ()
+      }
+      .start()
+    def await(expect: Set[Long], tag: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (grants.asScala.toSet != expect && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(grants.asScala.toSet == expect, tag)
+    }
+    try {
+      // 4 > maxPending arrivals, 5 tokens: ALL granted, nothing dropped
+      input.addData((1L to 4L).map(i => GateEvent("c.com", s"http://c.com/$i", i)): _*)
+      await((1L to 4L).toSet, "burst within the token budget passes whole")
+      // 9 arrivals, 5 tokens: 5 grant now, deferred 6..9 capped to {6,7}
+      // (newest dropped); those two drain on refill — 8,9 never granted
+      input.addData((11L to 19L).map(i => GateEvent("c.com", s"http://c.com/$i", i)): _*)
+      await((1L to 4L).toSet ++ (11L to 17L).toSet,
+        "overflow drops only the newest beyond tokens+maxPending")
+      Thread.sleep(500) // further drain batches must not resurrect 18,19
+      assert(grants.asScala.toSet == (1L to 4L).toSet ++ (11L to 17L).toSet)
+    } finally q.stop()
+  }
 }
