@@ -166,6 +166,7 @@ final class SparkBusWorker(
   private val dbConsumer = bus.spiderLog.consumer(-1, "db")
   private val scoringConsumer = bus.scoringLog.consumer()
   private val feedProducer = bus.spiderFeed.producer()
+  private val statsProducer = bus.statsLog.producer()
   private val pending =
     scala.collection.mutable.Map[Int, Vector[Array[Byte]]]().withDefaultValue(Vector.empty)
 
@@ -267,6 +268,19 @@ final class SparkBusWorker(
     rows.length.toLong
   }
 
+  /** The reference DB worker's periodic stats publication
+    * (`worker/db.py` log counters → stats log, `messagebus.py:127-145`):
+    * one `st` message with the worker's cumulative counters, emitted
+    * after every applied epoch and once on drain. */
+  private def publishStats(): Unit = {
+    statsProducer.send(null, codec.encode(BusMessage.Stats(CValue.CDict(Vector(
+      CValue.CStr("epochs_run") -> CValue.CLong(epochsRun),
+      CValue.CStr("urls_processed") -> CValue.CLong(urlsProcessed),
+      CValue.CStr("urls_scheduled_to_feed") -> CValue.CLong(urlsScheduledToFeed),
+      CValue.CStr("score_updates_applied") -> CValue.CLong(scoreUpdatesApplied))))))
+    statsProducer.flush()
+  }
+
   /** Run the worker loop until the crawl drains: every URL scheduled to
     * the feed has a fetch completion back on the spider log, the feed is
     * fully consumed, no new messages, and an empty dequeue — observed
@@ -278,7 +292,10 @@ final class SparkBusWorker(
       val frames = dbConsumer.getMessages(drainPollSize)
       applyScoringLog()
       var progressed = false
-      if (frames.nonEmpty && applySpiderLog(frames)) progressed = true
+      if (frames.nonEmpty && applySpiderLog(frames)) {
+        progressed = true
+        publishStats()
+      }
       // dequeue only when something could have changed the queue (a
       // replayed epoch, pending rows to flush, or the idle drain check)
       // — nextBatch is a full Spark job, not a poll
@@ -293,5 +310,6 @@ final class SparkBusWorker(
       if (progressed || !feedDrained || !caughtUp) { idle = 0; Thread.sleep(2) }
       else { idle += 1; tryDequeue = true; Thread.sleep(10) }
     }
+    publishStats() // final cumulative counters on drain
   }
 }

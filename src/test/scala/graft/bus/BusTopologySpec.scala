@@ -157,7 +157,8 @@ class BusTopologySpec extends AnyFunSuite {
   // ---------------- end-to-end topology conformance ----------------
 
   private def busCrawl(codec: BusCodec, spiders: Int): (Set[String],
-      Map[Int, List[String]], Map[String, Int], Long, SparkBusWorker) = {
+      Map[Int, List[String]], Map[String, Int], Long, SparkBusWorker,
+      LogBus) = {
     val graph = Graphs.benchGraph(hosts = 4, depth = 3, fanout = 3)
     val web: Map[String, Seq[String]] =
       graph.pages.map { case (u, ls) => u -> (ls: Seq[String]) }.toMap
@@ -187,7 +188,7 @@ class BusTopologySpec extends AnyFunSuite {
     }.toMap
     val states = frontier.stateSnapshot()
     (perSpider.values.flatten.toSet, perSpider, states,
-      spiderObjs.map(_.payloadFailures).sum, worker)
+      spiderObjs.map(_.payloadFailures).sum, worker, bus)
   }
 
   private def directCrawl(): (Set[String], Map[String, Int]) = {
@@ -205,7 +206,7 @@ class BusTopologySpec extends AnyFunSuite {
   test("bus topology crawls the same URL-seen set and states as the engine") {
     val (direct, directStates) = directCrawl()
     for (codec <- Seq[BusCodec](BusCodec.Msgpack, BusCodec.Json)) {
-      val (busSet, perSpider, busStates, payloadFails, worker) =
+      val (busSet, perSpider, busStates, payloadFails, worker, bus) =
         busCrawl(codec, spiders = 2)
       assert(busSet == direct, s"codec $codec: crawled set differs")
       // exactly-once fetch: scheduling dedup + durable offsets
@@ -226,6 +227,18 @@ class BusTopologySpec extends AnyFunSuite {
       // the per-row input_hint invariant held at the fetcher
       assert(payloadFails == 0L)
       assert(worker.epochsRun > 1, "crawl should take multiple epochs")
+      // the worker published its counters on the stats log (the
+      // reference DB worker's stats channel) — the final message's
+      // cumulative counts match the worker's own
+      val statsDicts = bus.statsLog.consumer().getMessages(100000)
+        .map(codec.decode).collect { case BusMessage.Stats(d) => d }
+      assert(statsDicts.nonEmpty, s"codec $codec: no stats published")
+      val last = statsDicts.last.items.collect {
+        case (CValue.CStr(k), CValue.CLong(v)) => k -> v
+      }.toMap
+      assert(last("epochs_run") == worker.epochsRun)
+      assert(last("urls_processed") == worker.urlsProcessed)
+      assert(last("urls_scheduled_to_feed") == worker.urlsScheduledToFeed)
     }
   }
 }
