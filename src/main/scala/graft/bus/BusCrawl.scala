@@ -284,11 +284,14 @@ final class SparkBusWorker(
   /** Run the worker loop until the crawl drains: every URL scheduled to
     * the feed has a fetch completion back on the spider log, the feed is
     * fully consumed, no new messages, and an empty dequeue — observed
-    * `idleStop` consecutive times. */
-  def run(idleStop: Int = 6): Unit = {
+    * `idleStop` consecutive times. `maxEpochs` bounds the run (operator
+    * maintenance windows, restart tests) — a stopped worker resumes
+    * from the durable consumer-group offsets and the store's epoch
+    * marker; call [[close]] for a graceful stop. */
+  def run(idleStop: Int = 6, maxEpochs: Long = Long.MaxValue): Unit = {
     var idle = 0
     var tryDequeue = true // first pass: seeds are already in the queue
-    while (idle < idleStop) {
+    while (idle < idleStop && epochsRun < maxEpochs) {
       val frames = dbConsumer.getMessages(drainPollSize)
       applyScoringLog()
       var progressed = false
@@ -311,5 +314,22 @@ final class SparkBusWorker(
       else { idle += 1; tryDequeue = true; Thread.sleep(10) }
     }
     publishStats() // final cumulative counters on drain
+  }
+
+  /** Graceful stop: drain the pending partition buffers to their feed
+    * partitions regardless of availability (backpressure ends with the
+    * producer — a Kafka producer flushes on close; an ABRUPT crash
+    * instead loses only what sat in this in-memory buffer, the same
+    * producer-buffer window the reference DB worker has) and publish
+    * the final counters. */
+  def close(): Unit = {
+    pending.keys.toSeq.foreach { p =>
+      if (pending(p).nonEmpty) {
+        feedProducer.sendTo(p, pending(p): _*)
+        pending(p) = Vector.empty
+      }
+    }
+    feedProducer.flush()
+    publishStats()
   }
 }

@@ -241,4 +241,54 @@ class BusTopologySpec extends AnyFunSuite {
       assert(last("urls_scheduled_to_feed") == worker.urlsScheduledToFeed)
     }
   }
+
+  test("a restarted worker resumes from durable offsets and completes the crawl") {
+    val graph = Graphs.benchGraph(hosts = 4, depth = 3, fanout = 3)
+    val web: Map[String, Seq[String]] =
+      graph.pages.map { case (u, ls) => u -> (ls: Seq[String]) }.toMap
+    val busDir = tmp("bus-restart")
+    val storeDir = tmp("bus-restart-store")
+    def mkBus() = new LogBus(busDir, spiderLogPartitions = 2,
+      spiderFeedPartitions = 2, maxNextRequests = 64)
+    def mkFrontier() = new SparkFrontier(spark, storeDir,
+      partitions = 2, stateBuckets = 2, strategy = ScoreStrategy.BFS,
+      globalOrder = true, useBloom = false)
+    val bus1 = mkBus()
+    val f1 = mkFrontier()
+    f1.addSeeds(graph.seeds)
+    val spiders = (0 until 2).map(p =>
+      new BusSpider(bus1, p, web, BusCodec.Msgpack))
+    val threads = spiders.map(s => new Thread(s, s"bus-rs-spider-${s.partitionId}"))
+    threads.foreach(_.start())
+    try {
+      // worker 1 applies exactly 2 epochs mid-crawl, then stops cleanly
+      val w1 = new SparkBusWorker(f1, bus1, BusCodec.Msgpack, maxNextRequests = 16)
+      w1.run(maxEpochs = 2)
+      w1.close()
+      assert(w1.epochsRun == 2)
+      assert(w1.urlsProcessed < graph.nodes.size,
+        "the crawl must genuinely be mid-flight at the handover")
+      // worker 2 is a RESTARTED process: fresh bus handles, a frontier
+      // reopened over the same store — picks up the db consumer group's
+      // committed offsets and the store's epoch marker, and drains
+      val w2 = new SparkBusWorker(mkFrontier(), mkBus(), BusCodec.Msgpack,
+        maxNextRequests = 16)
+      w2.run(idleStop = 20)
+      assert(w2.epochsRun > 0)
+    } finally {
+      spiders.foreach(_.stopping = true)
+      threads.foreach(_.join(5000))
+    }
+    val fetched = spiders.flatMap { s =>
+      val it = s.fetchedUrls.iterator()
+      val b = List.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val (direct, directStates) = directCrawl()
+    assert(fetched.toSet == direct, "URL-seen set differs after the restart")
+    assert(fetched.size == direct.size,
+      "a URL was fetched twice across the worker handover")
+    assert(mkFrontier().stateSnapshot() == directStates)
+  }
 }
