@@ -242,6 +242,47 @@ class BusTopologySpec extends AnyFunSuite {
     }
   }
 
+  test("scoring-log update_score(dont_queue) events re-rank the queue via the worker") {
+    // the reference SW→DB scoring channel (worker/db.py consume loop →
+    // update_score with schedule=False): an UpdateScore produced on the
+    // scoring log must re-score an already-queued request without
+    // re-queueing it — observable as fetch order under score ordering
+    val busDir = tmp("bus-scoring")
+    val bus = new LogBus(busDir, spiderLogPartitions = 1,
+      spiderFeedPartitions = 1, maxNextRequests = 64)
+    val frontier = new SparkFrontier(spark, tmp("bus-scoring-store"),
+      partitions = 2, stateBuckets = 2, strategy = ScoreStrategy.Basic,
+      globalOrder = true,
+      ordering = graft.local.QueueOrdering.ScoreCreatedDesc,
+      useBloom = false)
+    val urls = Seq("http://ha.com/x", "http://hb.com/x", "http://hc.com/x")
+    frontier.addSeeds(urls)
+    val codec: BusCodec = BusCodec.Msgpack
+    // demote hb BEFORE the first dequeue: the worker drains the scoring
+    // log at the top of every cycle
+    val sp = bus.scoringLog.producer()
+    sp.send(null, codec.encode(BusMessage.UpdateScore(
+      WireRequest("http://hb.com/x"), 0.2, schedule = false)))
+    sp.flush()
+    val spider = new BusSpider(bus, 0, Map.empty, codec)
+    val t = new Thread(spider, "bus-scoring-spider")
+    t.start()
+    val worker = new SparkBusWorker(frontier, bus, codec,
+      maxNextRequests = 1) // one URL per batch: fetch order == queue order
+    try worker.run()
+    finally { spider.stopping = true; t.join(5000) }
+    assert(worker.scoreUpdatesApplied == 1L)
+    val order = {
+      val it = spider.fetchedUrls.iterator()
+      val b = List.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    assert(order.toSet == urls.toSet)
+    assert(order.last == "http://hb.com/x",
+      s"the demoted URL must dequeue last under score ordering: $order")
+  }
+
   test("a restarted worker resumes from durable offsets and completes the crawl") {
     val graph = Graphs.benchGraph(hosts = 4, depth = 3, fanout = 3)
     val web: Map[String, Seq[String]] =
