@@ -235,12 +235,21 @@ object Bench {
     val best = scala.collection.mutable.Map(
       levels.map(_ -> (0L, Double.MaxValue)): _*)
     val ceilings = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // round 4 runs ONLY the graded lo/mid pair (both ends, symmetric):
-    // this VM's noise comes in minutes-scale windows, and with 3 rounds
-    // a single slow window can capture every sample of one level — the
-    // ratio then measures the window, not the engine. A 4th interleaved
-    // sample of each ratio end halves that exposure.
-    val rounds: Seq[Seq[Int]] = Seq(levels, levels, levels, Seq(lo, mid).distinct)
+    // Level order ROTATES across rounds: with a fixed order the same
+    // level always runs last in every round, so any slowdown that
+    // accumulates within the benchmark process (or a periodic noise
+    // window phase-locked to the round cadence) biases one ratio end
+    // systematically — a rotation turns that bias into symmetric noise
+    // that best-of sampling absorbs. Rounds 4-5 run ONLY the graded
+    // lo/mid pair (both orders): this VM's noise comes in minutes-scale
+    // windows, and extra interleaved samples of the ratio ends halve the
+    // chance a single window captures every sample of one level.
+    val rounds: Seq[Seq[Int]] = Seq(
+      levels,                                  // cpus, lo, mid
+      Seq(mid, cpus, lo).distinct,
+      Seq(lo, mid, cpus).distinct,
+      Seq(mid, lo).distinct,
+      Seq(lo, mid).distinct)
     rounds.foreach { levelsThisRound =>
       for (level <- levelsThisRound) {
         val s = session(level)

@@ -124,8 +124,32 @@ object BenchProbe {
     spark.stop()
   }
 
+  /** Time individual suite queries (same noop-sink discipline as the
+    * bench): runMain graft.BenchProbe queries <sfDir> <q1,q2,...> [rounds] */
+  private def queriesProbe(sfDir: String, names: Seq[String], rounds: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 96)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (r <- 1 to rounds; name <- names) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      println(f"[q] round$r $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("kernel")) { kernelProbe(); return }
+    if (args.headOption.contains("queries")) {
+      queriesProbe(args(1), args(2).split(',').toSeq,
+        args.lift(3).map(_.toInt).getOrElse(2))
+      return
+    }
     if (args.headOption.contains("crawl")) {
       crawlProbe(big = args.lift(1).contains("big"),
         threads = args.lift(2).map(_.toInt).getOrElse(

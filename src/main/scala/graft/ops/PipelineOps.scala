@@ -407,17 +407,29 @@ object PipelineOps {
   /** The parameterized loop: `perms` min-hash permutations grouped into
     * `bands` band keys. The default entry runs the 16/4 test dial; the
     * `_128` entry runs the SAME loop at the 128/16 production-recall
-    * shape, oracle-checked like everything else. */
+    * shape, oracle-checked like everything else.
+    *
+    * Hash-family economics: each md5 digest (32 hex chars) is split into
+    * FOUR independent 8-hex-char (32-bit) sub-hashes, so `perms`
+    * permutations cost only `perms/4` md5 evaluations per (doc, token)
+    * — at 128 perms that's 4× fewer digest computations AND 4×-narrower
+    * min() aggregation buffers than one-md5-per-perm, with the same
+    * uniformity (disjoint bits of one md5 are independent). The digests
+    * are projected once before the aggregate so each is computed once,
+    * not once per sub-hash. */
   private def minhashLsh(spark: SparkSession, dir: String,
       perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
+    val groups = (perms + 3) / 4
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
-    val sigs = toks.groupBy(col("doc_id")).agg(
-      min(md5(concat(col("tok"), lit("|0")))).as("h0"),
-      (1 until perms).map(i =>
-        min(md5(concat(col("tok"), lit(s"|$i")))).as(s"h$i")): _*)
+    val digs = toks.select(col("doc_id") +:
+      (0 until groups).map(g =>
+        md5(concat(col("tok"), lit(s"|$g"))).as(s"d$g")): _*)
+    val minCols = (0 until perms).map(i =>
+      min(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
+    val sigs = digs.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val banded = (0 until bands).map { b =>
       val rowCols = (0 until rows).map(r => col(s"h${b * rows + r}"))
       sigs.select(col("doc_id"), md5(concat(rowCols: _*)).as("bk"))
@@ -430,8 +442,12 @@ object PipelineOps {
 
   private def minhashLshSql(perms: Int, bands: Int): String = {
     val rows = perms / bands
+    val groups = (perms + 3) / 4
+    val digests = (0 until groups)
+      .map(g => s"md5(tok || '|$g') AS d$g").mkString(", ")
     val mins = (0 until perms)
-      .map(i => s"min(md5(tok || '|$i')) AS h$i").mkString(", ")
+      .map(i => s"min(substr(d${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(", ")
     val bandSelects = (0 until bands).map { b =>
       val rowConcat = (0 until rows)
         .map(r => s"h${b * rows + r}").mkString(" || ")
@@ -439,9 +455,11 @@ object PipelineOps {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH toks AS (
        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |digs AS (
+       |  SELECT doc_id, $digests FROM toks),
        |sigs AS (
        |  SELECT doc_id, $mins
-       |  FROM toks GROUP BY doc_id),
+       |  FROM digs GROUP BY doc_id),
        |bands AS (
        |  $bandSelects)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -570,19 +588,25 @@ object PipelineOps {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 40) {
+      // carry the node's previous label through the same min-agg (each
+      // node has exactly one labels row, so min(old) recovers it) —
+      // convergence detection is then a filter over the checkpointed
+      // round result instead of an extra join+count round-trip per round
       val viaEdges = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("cluster_id"))
+        .select(edges("src").as("node"), col("cluster_id"),
+          lit(null).cast(labels.schema("cluster_id").dataType).as("old"))
       val viaJump = labels.as("l1")
         .join(labels.as("l2"), col("l1.cluster_id") === col("l2.node"))
-        .select(col("l1.node").as("node"), col("l2.cluster_id").as("cluster_id"))
-      val next = labels.select(col("node"), col("cluster_id"))
+        .select(col("l1.node").as("node"), col("l2.cluster_id").as("cluster_id"),
+          lit(null).cast(labels.schema("cluster_id").dataType).as("old"))
+      val next = labels.select(col("node"), col("cluster_id"),
+          col("cluster_id").as("old"))
         .union(viaEdges).union(viaJump)
-        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"),
+          min(col("old")).as("old"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("old")).count()
+      labels = next.select(col("node"), col("cluster_id"))
       rounds += 1
     }
     require(changed == 0, s"dedupClusters did not converge in $rounds rounds")
@@ -876,6 +900,133 @@ object PipelineOps {
   val qTextFingerprintSql: String =
     "SELECT doc_id, md5(lower(text)) AS fp, n_chars FROM documents"
 
+  /** Paragraph-level exact dedup across the corpus (the CCNet shape:
+    * split each document into paragraph units, hash each unit, count
+    * occurrences corpus-wide, and rebuild documents from only the
+    * globally-unique units). The synthetic corpus has no newline
+    * structure, so the paragraph splitter is a fixed 10-token chunker —
+    * the unit boundary is pluggable, the dataflow is the real one.
+    * Scale: explode → one hash-count groupBy (map-side combinable) →
+    * hash join back on the unit digest → per-doc ordered reassembly.
+    * Never materializes the corpus driver-side; every stage is
+    * hash-partitioned by digest or doc_id. */
+  private val ParaChunkToks = 10
+
+  def qDedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    val ex = docs.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("toks")) / lit(ParaChunkToks.toDouble))
+              .cast(IntegerType) - 1),
+          i => array_join(
+            slice(col("toks"), i * ParaChunkToks + 1, lit(ParaChunkToks)), " "))))
+      .withColumnRenamed("col", "chunk")
+      .withColumn("ch", md5(col("chunk")))
+    val counts = ex.groupBy(col("ch")).agg(count(lit(1)).as("df"))
+    ex.join(counts, "ch")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(when(col("df") === 1, lit(1))).as("kept_chunks"),
+        count(when(col("df") > 1, lit(1))).as("dropped_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("df") === 1, struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")), " ").as("text_dedup"))
+  }
+
+  val qDedupParagraphSql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, f.i AS pos,
+       |         array_to_string(
+       |           (string_split(text,' '))[f.i*$ParaChunkToks+1:f.i*$ParaChunkToks+$ParaChunkToks], ' ') AS chunk
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(0,
+       |         CAST(ceil(len(string_split(text,' ')) / $ParaChunkToks.0) AS BIGINT))) AS i) f),
+       |df AS (SELECT md5(chunk) AS h, count(*) AS df FROM ch GROUP BY 1)
+       |SELECT doc_id,
+       |  count(CASE WHEN df = 1 THEN 1 END) AS kept_chunks,
+       |  count(CASE WHEN df > 1 THEN 1 END) AS dropped_chunks,
+       |  coalesce(string_agg(CASE WHEN df = 1 THEN chunk END, ' ' ORDER BY pos), '')
+       |    AS text_dedup
+       |FROM ch JOIN df ON md5(ch.chunk) = df.h
+       |GROUP BY doc_id""".stripMargin
+
+  /** Within-document repetition signals (the Gopher quality-filter
+    * shape): duplicate-trigram fraction (1 − distinct/total) and the
+    * fraction of bigram mass taken by the most frequent bigram. The
+    * trigram side is a pure scan-project over array functions (zero
+    * shuffle); the bigram mode needs a per-(doc,bigram) count — one
+    * partial-aggregated shuffle keyed by doc_id, then a bounded per-doc
+    * fold. Both survive 100×: no corpus-wide key, everything keyed by
+    * doc. */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    val tri = transform(sequence(lit(1), size(col("toks")) - 2),
+      i => concat_ws(" ", slice(col("toks"), i, lit(3))))
+    val dup = docs.select(col("doc_id"),
+      round(lit(1.0) - size(array_distinct(tri)).cast(DoubleType) / size(tri), 6)
+        .as("dup_trigram_frac"))
+    val bg = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("bg"))
+    val top = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast(DoubleType) / sum(col("c")), 6)
+        .as("top_bigram_frac"))
+    dup.join(top, Seq("doc_id"))
+  }
+
+  val qTextRepetitionSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |dup AS (
+      |  SELECT doc_id,
+      |         round(1.0 - len(list_distinct(tg))::DOUBLE / len(tg), 6) AS dup_trigram_frac
+      |  FROM (SELECT doc_id,
+      |          list_transform(range(1, len(tk) - 1),
+      |            i -> array_to_string(tk[i:i+2], ' ')) AS tg
+      |        FROM toks)),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |           i -> array_to_string(tk[i:i+1], ' '))) AS bg
+      |  FROM toks),
+      |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+      |        FROM cnt GROUP BY 1)
+      |SELECT doc_id, dup_trigram_frac, top_bigram_frac
+      |FROM dup JOIN top USING (doc_id)""".stripMargin
+
+  /** Deterministic per-language stratified sampling (the
+    * downsample-by-stratum shape every pretraining corpus pass needs:
+    * e.g. temper the dominant language, upsample the tail). Keep a doc
+    * iff the first md5 byte of its id is below the stratum's threshold
+    * — a pure hash-threshold filter, so the sample is reproducible,
+    * join-free across runs, and composable (a tighter threshold is a
+    * subset of a looser one). Scale: broadcast the tiny rate table,
+    * then one map-side filter over the scan — zero shuffle, no
+    * count-based planning pass over the corpus. */
+  private val stratRates: Seq[(String, String)] =
+    Seq(("en", "28"), ("de", "80"), ("es", "80"), ("fr", "80"), ("zh", "c0"))
+
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rates = spark.createDataFrame(stratRates).toDF("lang", "thr")
+    t(spark, dir, "documents")
+      .join(broadcast(rates), Seq("lang"))
+      .filter(substring(md5(col("doc_id").cast(StringType)), 1, 2) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val qSampleStratifiedSql: String = {
+    val vals = stratRates.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+    s"""WITH rates AS (SELECT * FROM (VALUES $vals) AS r(lang, thr))
+       |SELECT doc_id, lang, source
+       |FROM documents JOIN rates USING (lang)
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr""".stripMargin
+  }
+
   // =====================================================================
   // Multimodal plumbing: opaque binary payload + typed metadata
   // =====================================================================
@@ -1098,6 +1249,9 @@ object PipelineOps {
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_dedup_paragraph" -> (qDedupParagraph _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_framesample" -> (qMultimodalFramesample _),
     "q_domain_ban_filter" -> (qDomainBanFilter _),
@@ -1137,6 +1291,9 @@ object PipelineOps {
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
+    "q_text_repetition" -> qTextRepetitionSql,
+    "q_dedup_paragraph" -> qDedupParagraphSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_framesample" -> qMultimodalFramesampleSql,
     "q_domain_ban_filter" -> qDomainBanFilterSql,

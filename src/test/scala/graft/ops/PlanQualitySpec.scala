@@ -77,6 +77,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample broadcasts the rate table and never shuffles the corpus") {
+    val plan = formatted("q_sample_stratified")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    // the only Exchange allowed is the broadcast of the 5-row rate table
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")), plan)
+  }
+
+  test("paragraph dedup joins on the unit digest (hash join, no cartesian)") {
+    val plan = formatted("q_dedup_paragraph")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("hashpartitioning"), plan)
+  }
+
   test("quality scoring is one scan-project pass (no shuffle); " +
        "higher-order array fns are Spark codegen-fallback by design") {
     val plan = formatted("q_text_quality")
