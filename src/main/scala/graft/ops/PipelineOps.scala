@@ -595,13 +595,17 @@ object PipelineOps {
       val viaEdges = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("cluster_id"),
           lit(null).cast(labels.schema("cluster_id").dataType).as("old"))
-      val viaJump = labels.as("l1")
-        .join(labels.as("l2"), col("l1.cluster_id") === col("l2.node"))
-        .select(col("l1.node").as("node"), col("l2.cluster_id").as("cluster_id"),
-          lit(null).cast(labels.schema("cluster_id").dataType).as("old"))
+      // round 1's labels are the identity (cluster_id == node), so the
+      // jump join would only re-derive each node's own label — skip it
+      val withJump =
+        if (rounds == 0) viaEdges
+        else viaEdges.union(labels.as("l1")
+          .join(labels.as("l2"), col("l1.cluster_id") === col("l2.node"))
+          .select(col("l1.node").as("node"), col("l2.cluster_id").as("cluster_id"),
+            lit(null).cast(labels.schema("cluster_id").dataType).as("old")))
       val next = labels.select(col("node"), col("cluster_id"),
           col("cluster_id").as("old"))
-        .union(viaEdges).union(viaJump)
+        .union(withJump)
         .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"),
           min(col("old")).as("old"))
         .localCheckpoint()
