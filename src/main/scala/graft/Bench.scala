@@ -57,6 +57,40 @@ object Bench {
     f.delete()
   }
 
+  /** Open-fd count of this process (−1 when /proc is unavailable).
+    * BENCH_r04 died mid-run on fd exhaustion from a directory-stream
+    * leak; the bench now checks headroom at every session boundary so a
+    * future leak fails LOUDLY at a boundary instead of corrupting a
+    * shuffle 30 minutes in. */
+  private def openFds(): Int = {
+    val d = java.nio.file.Paths.get("/proc/self/fd")
+    if (!java.nio.file.Files.isDirectory(d)) -1
+    else { val s = java.nio.file.Files.list(d); try s.count().toInt finally s.close() }
+  }
+
+  /** Soft "Max open files" rlimit from /proc/self/limits (−1 unknown). */
+  private def fdLimit(): Long =
+    try {
+      scala.io.Source.fromFile("/proc/self/limits").getLines()
+        .find(_.startsWith("Max open files"))
+        .map(_.drop("Max open files".length).trim.split("\\s+")(0).toLong)
+        .getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
+  private var fdPeak = 0
+  /** Log fd headroom at a session/level boundary; throw while the JVM is
+    * still healthy if a leak has eaten >50% of the limit. */
+  private def fdCheckpoint(label: String): Int = {
+    val n = openFds()
+    if (n > fdPeak) fdPeak = n
+    val lim = fdLimit()
+    System.err.println(s"[bench-fd] $label open_fds=$n limit=$lim")
+    require(n < 0 || lim < 0 || n < lim / 2,
+      s"fd leak: $n open fds after $label (limit $lim) — aborting at a " +
+        "session boundary before a mid-shuffle 'Too many open files'")
+    n
+  }
+
   /** Hardware scaling ceiling of this box: aggregate throughput ratio of a
     * pure-CPU, zero-allocation kernel at `hi` vs `lo` threads, divided by
     * hi/lo. On this virtualized 32-vCPU host the ceiling is ≈0.6 — the
@@ -178,6 +212,8 @@ object Bench {
     val (depth, fanout) = (4, 8)
     val hotN = math.max(10000L, (sf * 4000000L).toLong) // sf0.1 → 400k URLs
 
+    val fdStart = fdCheckpoint("start")
+
     // ---- operator suite + full crawl pipeline at full parallelism ----
     // Same noise discipline as the hot path (this VM has minutes-scale
     // background noise): TWO interleaved passes — suite, crawl, suite,
@@ -203,6 +239,7 @@ object Bench {
     val (cu, ct, _) = Seq(crawl1, crawl2).minBy(c => c._2 / math.max(c._1, 1L))
     val cFail = crawl1._3 + crawl2._3 // failures from EITHER run count
     spark32.stop()
+    fdCheckpoint("after operator suite + crawl pipeline")
 
     // ---- get_next_requests hot path: same input, same TOTAL batch size
     // (per-partition budget scaled inversely with partition count, like a
@@ -257,6 +294,7 @@ object Bench {
         // batch) at every level — only the worker count varies
         val (u, t, fh, sfr) = hotPath(s, hotN, hosts, totalBatch / cpus, cpus)
         s.stop()
+        fdCheckpoint(s"after hot-path level $level")
         if (t < best(level)._2) best(level) = (u, t)
         // report the first-epoch scan fraction of the GRADED level only
         if (level == cpus && scanFrac < 0 && sfr > 0) scanFrac = sfr
@@ -290,6 +328,7 @@ object Bench {
       deleteRec(new java.io.File(root))
       frac
     }
+    val fdEnd = fdCheckpoint("end")
 
     def ups(level: Int): Double = best(level)._1 / best(level)._2
     val efficiency = (ups(mid) / ups(lo)) / (mid.toDouble / lo)
@@ -301,6 +340,6 @@ object Bench {
       f""""urls_per_sec_$l%d":${ups(l)}%.1f,"seconds_$l%d":${best(l)._2}%.1f""")
       .mkString(",")
     println(
-      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d], fetch+decode+PSNR-verify per URL)","value":${ups(cpus)}%.1f,"unit":"urls/sec","queries":$qs,"operator_suite_sec":$total%.3f,"sf":"$sfDir","frontier":{"crawl_pipeline_urls":$cu,"crawl_pipeline_urls_per_sec":${cu / ct}%.1f,"hot_path_urls":${best(cpus)._1},$levelJson,"scaling_efficiency_${lo}_to_$mid":$efficiency%.3f,"hardware_cpu_scaling_ceiling_median3_${lo}_to_$mid":$ceiling%.3f,"efficiency_vs_hardware_ceiling":${efficiency / ceiling}%.3f,"dequeue_scan_fraction_first_epoch":$scanFrac%.4f,"dequeue_scan_fraction_10x_queue":$scanFrac10x%.4f,"payload_failures":${cFail + fails},"reference_pages_per_sec":20}}""")
+      f"""{"metric":"frontier get_next_requests throughput (urls/sec @ local[$cpus%d], fetch+decode+PSNR-verify per URL)","value":${ups(cpus)}%.1f,"unit":"urls/sec","queries":$qs,"operator_suite_sec":$total%.3f,"sf":"$sfDir","frontier":{"crawl_pipeline_urls":$cu,"crawl_pipeline_urls_per_sec":${cu / ct}%.1f,"hot_path_urls":${best(cpus)._1},$levelJson,"scaling_efficiency_${lo}_to_$mid":$efficiency%.3f,"hardware_cpu_scaling_ceiling_median3_${lo}_to_$mid":$ceiling%.3f,"efficiency_vs_hardware_ceiling":${efficiency / ceiling}%.3f,"dequeue_scan_fraction_first_epoch":$scanFrac%.4f,"dequeue_scan_fraction_10x_queue":$scanFrac10x%.4f,"fd_start":$fdStart%d,"fd_end":$fdEnd%d,"fd_peak":$fdPeak%d,"fd_limit":${fdLimit()}%d,"payload_failures":${cFail + fails},"reference_pages_per_sec":20}}""")
   }
 }

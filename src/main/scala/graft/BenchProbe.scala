@@ -127,9 +127,12 @@ object BenchProbe {
   /** Time individual suite queries (same noop-sink discipline as the
     * bench): runMain graft.BenchProbe queries <sfDir> <q1,q2,...> [rounds] */
   private def queriesProbe(sfDir: String, names: Seq[String], rounds: Int): Unit = {
+    // derive threads like Bench.session does — a hardcoded local[32]
+    // oversubscribes smaller hosts and makes timings incomparable
+    val threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 96)
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads * 3)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -119,31 +119,15 @@ object UrlUtil {
 
   // ---- discovery-strategy helpers (strategy/discovery/__init__.py) ----
 
-  /** Multi-part public suffixes we special-case (PSL-lite: the reference
-    * uses the full publicsuffix list via `PublicSuffixList`; this covers
-    * the common two-label suffixes and defaults to last-two-labels —
-    * documented simplification, the suffix list is data not logic). */
-  private val TwoPartSuffixes: Set[String] = Set(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
-    "co.in", "net.in", "org.in", "com.mx", "com.ar", "com.tr",
-    "co.nz", "net.nz", "org.nz", "com.sg", "co.za", "co.kr",
-    "com.hk", "com.tw", "com.my", "co.id", "com.ua", "com.pl")
-
-  /** 2nd-level domain name of a hostname (reference `_get_2ndlevel_name`,
-    * discovery/__init__.py:523: public-suffix + one label). */
-  def sld(hostname: String): String = {
-    val h = hostname.toLowerCase.stripSuffix(".")
-    val labels = h.split('.')
-    if (labels.length <= 2) h
-    else {
-      val lastTwo = labels.takeRight(2).mkString(".")
-      if (TwoPartSuffixes.contains(lastTwo)) labels.takeRight(3).mkString(".")
-      else lastTwo
-    }
-  }
+  /** 2nd-level (registrable) domain name of a hostname — reference
+    * `_get_2ndlevel_name` (discovery/__init__.py:520-523), which calls
+    * `PublicSuffixList.get_public_suffix` over the full Mozilla public
+    * suffix list. [[PublicSuffix]] carries that list as a resource and
+    * replicates the package's matching exactly (wildcards, exceptions,
+    * implicit-`*` default). */
+  def sld(hostname: String): String =
+    PublicSuffix.registrable(
+      hostname.toLowerCase.stripSuffix(".").dropWhile(_ == '.'))
 
   /** is_home_page_url (discovery/__init__.py:32-36): no query, and path
     * empty or one of the default home paths. */

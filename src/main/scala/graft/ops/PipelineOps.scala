@@ -965,10 +965,19 @@ object PipelineOps {
     * shuffle); the bigram mode needs a per-(doc,bigram) count — one
     * partial-aggregated shuffle keyed by doc_id, then a bounded per-doc
     * fold. Both survive 100×: no corpus-wide key, everything keyed by
-    * doc. */
+    * doc.
+    *
+    * Short-doc contract: repetition signals are DEFINED ONLY for docs
+    * with ≥3 whitespace tokens — shorter docs are dropped from the
+    * result (not null, not 0.0). Without the filter the trigram
+    * `sequence(1, n-2)` flips to a descending range for n<3 (Spark
+    * sequence defaults to step −1 when start>stop) and `slice(toks,0,3)`
+    * throws; the SQL mirror filters identically so both engines agree
+    * row-for-row. */
   def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
     val tri = transform(sequence(lit(1), size(col("toks")) - 2),
       i => concat_ws(" ", slice(col("toks"), i, lit(3))))
     val dup = docs.select(col("doc_id"),
@@ -985,7 +994,8 @@ object PipelineOps {
   }
 
   val qTextRepetitionSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk
+      |              FROM documents WHERE len(string_split(text,' ')) >= 3),
       |dup AS (
       |  SELECT doc_id,
       |         round(1.0 - len(list_distinct(tg))::DOUBLE / len(tg), 6) AS dup_trigram_frac

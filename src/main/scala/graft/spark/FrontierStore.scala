@@ -159,6 +159,15 @@ final class BucketStore(val root: String, val bucketCol: String,
   private final case class LeafDir(bucket: Int, path: String, rows: Long,
       statMax: Option[Long])
 
+  /** List a directory's entries, materialized. `Files.list` holds an open
+    * DirectoryStream (one fd) until closed — leaking it per leaf dir per
+    * commit exhausts the process fd limit over a long crawl (buckets ×
+    * bands fds per bulkSchedule). Always close before returning. */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator.asScala.toVector finally s.close()
+  }
+
   /** Walk the committed dir: bucket level, plus band level when banded;
     * row counts + statCol max from the parquet footers (driver-side
     * metadata only, no Spark job — the Iceberg-manifest file-stats
@@ -167,16 +176,14 @@ final class BucketStore(val root: String, val bucketCol: String,
     if (!Files.exists(commitDir)) return Nil
     def rel(p: Path): String =
       Paths.get(root).relativize(p).toString.replace(java.io.File.separatorChar, '/')
-    val bucketDirs = Files.list(commitDir).iterator.asScala
+    val bucketDirs = listDir(commitDir)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$bucketCol="))
-      .toSeq
     val leafPaths: Seq[(Int, Path)] = bucketDirs.flatMap { bp =>
       val bucket = bp.getFileName.toString.stripPrefix(s"$bucketCol=").toInt
       val leaves = bandCol match {
         case Some(bc) =>
-          Files.list(bp).iterator.asScala
+          listDir(bp)
             .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$bc="))
-            .toSeq
         case None => Seq(bp)
       }
       leaves.map(bucket -> _)
@@ -199,7 +206,7 @@ final class BucketStore(val root: String, val bucketCol: String,
   private def footerStats(dir: Path): (Long, Option[Long]) = {
     var rows = 0L
     var mx: Option[Long] = statCol.map(_ => Long.MinValue)
-    Files.list(dir).iterator.asScala
+    listDir(dir)
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .foreach { p =>
         val hpath = new org.apache.hadoop.fs.Path(p.toUri)
@@ -251,7 +258,7 @@ final class BucketStore(val root: String, val bucketCol: String,
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.toSeq.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.delete(p)
   }
 

@@ -87,7 +87,10 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("sld is a suffix of the host, idempotent, at most 3 labels") {
+  test("sld is a suffix of the host, idempotent, nonempty") {
+    // NB: no fixed label-count bound — under the full public suffix
+    // list a registrable domain can have 4+ labels (e.g. a host under
+    // pvt.k12.ma.us); the invariants are suffix-ness and idempotence
     val g = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString))
       .map(_.take(5).mkString("."))
@@ -95,7 +98,7 @@ class PropertySpec extends AnyFunSuite {
       val d = UrlUtil.sld(host)
       assert(host == d || host.endsWith("." + d), s"$host -> $d")
       assert(UrlUtil.sld(d) == d)
-      assert(d.split('.').length <= 3)
+      assert(d.nonEmpty)
     }
   }
 }

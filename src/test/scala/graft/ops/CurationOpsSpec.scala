@@ -72,6 +72,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 0.5, 1.0), (2L, 0.0, 0.25)))
   }
 
+  test("repetition signals: docs with <3 tokens are dropped, not crashed") {
+    // contract: repetition is defined only for >=3 tokens. Pre-fix, a
+    // 2-token doc flipped sequence(1, n-2) into a DESCENDING range
+    // ([1,0]) and slice(toks, 0, 3) threw 'SQL array indices start at
+    // 1'; empty text crashed too (split('',' ') = ['']). The SQL oracle
+    // mirror filters the same docs, so both engines stay row-aligned.
+    val dir = corpus(Seq(
+      (1L, "", "en", "t", 0L),
+      (2L, "one", "en", "t", 0L),
+      (3L, "one two", "en", "t", 0L),
+      (4L, "a b c", "en", "t", 0L)))
+    val got = PipelineOps.qTextRepetition(spark, dir)
+      .orderBy($"doc_id")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got === Seq((4L, 0.0, 0.5)))
+  }
+
   test("stratified sample: deterministic, per-stratum thresholded, and " +
        "monotone (tighter threshold selects a subset)") {
     val docs = (0L until 400L).map(i =>

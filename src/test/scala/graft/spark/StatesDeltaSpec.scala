@@ -142,7 +142,8 @@ class StatesDeltaSpec extends AnyFunSuite {
       .replaceAll("\"bucketv\":\\{[^}]*\\}", "\"bucketv\":{}")
     Files.writeString(mPath, stripped)
     val bloomDir = Paths.get(s"$root/states/bloom")
-    Files.list(bloomDir).forEach(p => Files.delete(p))
+    locally { val s = Files.list(bloomDir)
+      try s.forEach(p => Files.delete(p)) finally s.close() }
     assert(f1.states.readManifest().bucketVersions.isEmpty, "fixture: no bucketv")
 
     val f2 = frontier(root, useBloom = true)
