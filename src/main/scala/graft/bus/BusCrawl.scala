@@ -68,7 +68,7 @@ object BusCodec {
   * PSNR/caption invariant — the fetcher is where payload verification
   * lives in this deployment shape (input_hint per-row invariant). */
 final class BusSpider(
-    bus: LogBus, val partitionId: Int, web: Map[String, Seq[String]],
+    bus: MessageBus, val partitionId: Int, web: Map[String, Seq[String]],
     codec: BusCodec, failUrls: Set[String] = Set.empty,
     verifyPayload: Boolean = false, pollSize: Int = 64) extends Runnable {
 
@@ -157,7 +157,7 @@ final class BusSpider(
   * is dequeued — backpressure reaches the queue without un-dequeueing
   * anything. */
 final class SparkBusWorker(
-    frontier: SparkFrontier, bus: LogBus, codec: BusCodec,
+    frontier: SparkFrontier, bus: MessageBus, codec: BusCodec,
     maxNextRequests: Int, drainPollSize: Int = 4096) {
 
   private val spark = frontier.spark
@@ -252,6 +252,11 @@ final class SparkBusWorker(
     val pendingTotal = pending.valuesIterator.map(_.length).sum
     if (pendingTotal >= maxNextRequests) { feedProducer.flush(); return 0L }
     val batch = frontier.nextBatch(maxNextRequests)
+    // driver-side collect is BOUNDED-BY-CONTRACT: nextBatch returns at
+    // most maxNextRequests rows (the reference DB worker materializes
+    // the same batch in batch_generator.py before producing to the
+    // feed). At a larger MAX_NEXT_REQUESTS move encode+send into
+    // foreachPartition against per-partition producers.
     val rows = batch.select($"url", $"depth", $"score")
       .as[(String, Int, Double)].collect()
     batch.unpersist()

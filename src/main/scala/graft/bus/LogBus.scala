@@ -157,7 +157,8 @@ private[bus] final class PartitionLog(dir: Path) {
   * Offsets auto-commit to the group's offset file on poll (Kafka
   * consumer-group semantics), so a restarted consumer resumes. */
 final class LogStreamConsumer private[bus] (
-    streamDir: Path, group: String, partitionIds: Seq[Int]) {
+    streamDir: Path, group: String, partitionIds: Seq[Int])
+    extends StreamConsumer {
   import LogBus._
   private val logs = partitionIds.map(p => p -> new PartitionLog(streamDir.resolve(s"p$p"))).toMap
   // (records, bytes) position per partition, resumed from the group file
@@ -198,7 +199,7 @@ final class LogStreamConsumer private[bus] (
   * stream's partitioner, buffered per partition, durable on flush. */
 final class LogStreamProducer private[bus] (
     streamDir: Path, partitions: Int, partitioner: (String, Int) => Int,
-    autoFlushAt: Int = 256) {
+    autoFlushAt: Int = 256) extends StreamProducer {
   private val logs = (0 until partitions)
     .map(p => p -> new PartitionLog(streamDir.resolve(s"p$p"))).toMap
   private val buf = scala.collection.mutable.Map[Int, Vector[Array[Byte]]]()
@@ -232,7 +233,8 @@ final class LogStreamProducer private[bus] (
 /** Spider log (`messagebus.py:78-102`): spiders → strategy/DB workers,
   * keyed by request fingerprint (FingerprintPartitioner). A consumer is
   * bound to one partition (`type="sw"`) or to all (`type="db"`). */
-final class SpiderLog private[bus] (dir: Path, val partitions: Int) {
+final class SpiderLog private[bus] (dir: Path, val partitions: Int)
+    extends SpiderLogStream {
   def producer(): LogStreamProducer =
     new LogStreamProducer(dir, partitions, Hashing.fingerprintPartition)
   def consumer(partitionId: Int, consumerType: String): LogStreamConsumer = {
@@ -243,7 +245,7 @@ final class SpiderLog private[bus] (dir: Path, val partitions: Int) {
 
 /** Scoring log (`messagebus.py:105-124`): strategy → DB workers,
   * unpartitioned. */
-final class ScoringLog private[bus] (dir: Path) {
+final class ScoringLog private[bus] (dir: Path) extends ScoringLogStream {
   def producer(): LogStreamProducer =
     new LogStreamProducer(dir, 1, (_, _) => 0)
   def consumer(): LogStreamConsumer = new LogStreamConsumer(dir, "db", Seq(0))
@@ -251,7 +253,7 @@ final class ScoringLog private[bus] (dir: Path) {
 
 /** Stats log (`messagebus.py:127-145`): workers → external sinks,
   * unpartitioned. */
-final class StatsLog private[bus] (dir: Path) {
+final class StatsLog private[bus] (dir: Path) extends StatsLogStream {
   def producer(): LogStreamProducer =
     new LogStreamProducer(dir, 1, (_, _) => 0)
   def consumer(group: String = "stats"): LogStreamConsumer =
@@ -263,7 +265,8 @@ final class StatsLog private[bus] (dir: Path) {
   * spider. Availability = explicit ready/busy marks (zeromq bus)
   * INTERSECTED with offset lag < maxNextRequests (kafka bus). */
 final class SpiderFeed private[bus] (
-    dir: Path, val partitions: Int, maxNextRequests: Int) {
+    dir: Path, val partitions: Int, maxNextRequests: Int)
+    extends SpiderFeedStream {
   import LogBus._
   private val ready = scala.collection.mutable.Set[Int]((0 until partitions): _*)
   // cached: lag()/availablePartitions() run on the worker's poll loop —
@@ -314,7 +317,8 @@ final class SpiderFeed private[bus] (
   * (SPIDER_FEED_PARTITIONS); `maxNextRequests` = the per-partition feed
   * lag bound (MAX_NEXT_REQUESTS, `kafkabus.py:256`). */
 final class LogBus(rootDir: String, spiderLogPartitions: Int = 1,
-    spiderFeedPartitions: Int = 1, maxNextRequests: Int = 256) {
+    spiderFeedPartitions: Int = 1, maxNextRequests: Int = 256)
+    extends MessageBus {
   private val root = Paths.get(rootDir)
   val spiderLog = new SpiderLog(root.resolve("spider-log"), spiderLogPartitions)
   val scoringLog = new ScoringLog(root.resolve("scoring-log"))

@@ -199,7 +199,19 @@ final class SparkFrontier(
       * scan and rewrite today). This is how a real cluster hides commit
       * latency behind fetch I/O. Off by default: the conformance suites
       * assert on-disk layout immediately after nextBatch returns. */
-    val asyncDequeueCommit: Boolean = false) extends Serializable {
+    val asyncDequeueCommit: Boolean = false,
+    /** DELAY_ON_EMPTY analog (reference scrapy scheduler,
+      * contrib/scrapy/schedulers/frontier.py:141-152: after an empty
+      * get_next_requests the scheduler won't call the frontier again
+      * until `_delay_next_call`; reset to 0 on any non-empty batch).
+      * The engine clock is the epoch, so the backoff is epoch-valued:
+      * after an empty dequeue at epoch e, `nextBatch` returns an empty
+      * batch WITHOUT scanning (no manifest walk, no Spark job) until
+      * nowEpoch >= e + delayOnEmptyEpochs — a drained-but-alive frontier
+      * with future `crawl_at` rows is polled at the backoff cadence
+      * instead of re-planning every call. 0 = off (conformance loops
+      * stop on the first empty batch and never re-poll). */
+    val delayOnEmptyEpochs: Int = 0) extends Serializable {
 
   import spark.implicits._
 
@@ -710,8 +722,14 @@ final class SparkFrontier(
     * lineage): files read vs files in the queue, deepening tries, and
     * phase wall-times (scan+rank+select vs rewrite commit). */
   final case class ScanStats(scannedPaths: Int, totalPaths: Int, tries: Int,
-      scanSec: Double = 0.0, rewriteSec: Double = 0.0)
+      scanSec: Double = 0.0, rewriteSec: Double = 0.0,
+      /** true when the dequeue was short-circuited by the
+        * delayOnEmptyEpochs backoff (no scan happened at all) */
+      skippedOnEmpty: Boolean = false)
   @volatile var lastScan: ScanStats = ScanStats(0, 0, 0)
+  /** first epoch at which dequeues resume after an empty batch
+    * (delayOnEmptyEpochs backoff); MinValue = no backoff armed */
+  @volatile private var emptyBackoffUntil: Long = Long.MinValue
 
   /** In-flight background dequeue commit (asyncDequeueCommit mode). */
   @transient @volatile private var pendingCommit: java.util.concurrent.Future[_] = null
@@ -761,6 +779,14 @@ final class SparkFrontier(
     val tStart = System.nanoTime()
     // crawl_at visibility (delayed revisit): invisible rows stay queued
     val nowEpoch = if (atEpoch >= 0) atEpoch else epoch
+    // DELAY_ON_EMPTY backoff: a recent empty dequeue means the frontier
+    // is drained-but-alive — skip the plan/scan entirely until the
+    // backoff epoch passes (reference frontier.py:141-152)
+    if (delayOnEmptyEpochs > 0 && nowEpoch < emptyBackoffUntil) {
+      lastScan = ScanStats(0, 0, 0, skippedOnEmpty = true)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], queueSchema)
+    }
     val m = ensureBandLayout()
     // A7: busy partitions (in-flight lag >= budget) produce no batch
     // until their results are processed — the reference's ready/busy
@@ -963,6 +989,11 @@ final class SparkFrontier(
       else tagged.filter($"__bl")
         .select($"partition_id", bandExpr.as("band")).distinct()
         .as[(Int, Int)].collect()
+    // arm/clear the DELAY_ON_EMPTY backoff (reference: delay set on an
+    // empty poll, reset to 0 by any non-empty one)
+    if (delayOnEmptyEpochs > 0)
+      emptyBackoffUntil =
+        if (batchGroups.isEmpty) nowEpoch + delayOnEmptyEpochs else Long.MinValue
     val batchCounts = batchGroups.map { case (b, band, n) => (b, band) -> n }.toMap
     val touchedGroups = (batchGroups.map(t => (t._1, t._2)) ++ blGroups).distinct
       .map { case (b, band) => (b, band, batchCounts.getOrElse((b, band), 0L)) }

@@ -164,15 +164,18 @@ class BusTopologySpec extends AnyFunSuite {
       graph.pages.map { case (u, ls) => u -> (ls: Seq[String]) }.toMap
     val bus = new LogBus(tmp("bus-e2e"), spiderLogPartitions = 2,
       spiderFeedPartitions = spiders, maxNextRequests = 64)
+    // the topology is wired strictly through the transport seam — a
+    // broker-backed MessageBus implementation is a drop-in here
+    val seam: MessageBus = bus
     val frontier = new SparkFrontier(spark, tmp("bus-e2e-store"),
       partitions = 2, stateBuckets = 2, strategy = ScoreStrategy.BFS,
       globalOrder = true, useBloom = false)
     frontier.addSeeds(graph.seeds)
     val spiderObjs = (0 until spiders).map(p =>
-      new BusSpider(bus, p, web, codec, verifyPayload = true))
+      new BusSpider(seam, p, web, codec, verifyPayload = true))
     val threads = spiderObjs.map(s => new Thread(s, s"bus-spider-${s.partitionId}"))
     threads.foreach(_.start())
-    val worker = new SparkBusWorker(frontier, bus, codec, maxNextRequests = 16)
+    val worker = new SparkBusWorker(frontier, seam, codec, maxNextRequests = 16)
     try worker.run()
     finally {
       spiderObjs.foreach(_.stopping = true)

@@ -42,4 +42,38 @@ class RevisitSpec extends AnyFunSuite {
     val perDoc = meta.groupBy("url").agg(count(lit(1)).as("n"))
     assert(perDoc.filter(col("n") >= 2).count() >= 1)
   }
+
+  test("DELAY_ON_EMPTY backoff: empty dequeues skip the scan until the " +
+       "delay passes; future crawl_at rows still come back") {
+    // reference contrib/scrapy/schedulers/frontier.py:141-152 — after an
+    // empty get_next_requests the scheduler stops calling the frontier
+    // for DELAY_ON_EMPTY; any non-empty batch resets the delay. Engine
+    // analog: epoch-valued backoff, skipped dequeues do NO planning.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-delayempty").toString
+    val url = "http://solo.example/only"
+    val web = Seq((url, Seq.empty[String])).toDF("url", "outlinks")
+    val frontier = new SparkFrontier(spark, root, partitions = 2,
+      stateBuckets = 2, strategy = ScoreStrategy.BFS, globalOrder = true,
+      revisitIntervalEpochs = Some(4), delayOnEmptyEpochs = 3)
+    frontier.addSeeds(Seq(url))
+    val crawler = new SparkCrawler(frontier, web, 100)
+    assert(crawler.crawlOnce(1), "epoch 1 crawls the seed")
+    // epoch 2: the revisit row (crawl_at = 5) is invisible — a REAL scan
+    // that comes back empty arms the backoff
+    assert(!crawler.crawlOnce(2))
+    assert(!frontier.lastScan.skippedOnEmpty, "epoch 2 is a real scan")
+    assert(frontier.lastScan.totalPaths > 0)
+    // epochs 3-4 are inside the backoff: no manifest walk, no Spark job
+    for (e <- 3 to 4) {
+      assert(!crawler.crawlOnce(e))
+      assert(frontier.lastScan.skippedOnEmpty, s"epoch $e must be skipped")
+      assert(frontier.lastScan.totalPaths == 0)
+    }
+    // epoch 5: backoff expired AND crawl_at visible — the revisit fires
+    // (the skipped epochs lost nothing)
+    assert(crawler.crawlOnce(5), "revisit must fire once the delay passes")
+    assert(!frontier.lastScan.skippedOnEmpty)
+    assert(crawler.sequence.toList.flatten == List(url, url))
+  }
 }

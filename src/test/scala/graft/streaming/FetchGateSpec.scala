@@ -116,4 +116,62 @@ class FetchGateSpec extends AnyFunSuite {
       assert(grants.asScala.toSet == (1L to 4L).toSet ++ (11L to 17L).toSet)
     } finally q.stop()
   }
+
+  test("engine seam: a real dequeued epoch batch flows through the gate " +
+       "with per-slot politeness held and nothing lost") {
+    // the gate's input contract is the engine's dequeue output: slot =
+    // the queue's politeness slot key (its `host` column — the same key
+    // the banded dequeue windows by), seq = dequeue order. Pins that
+    // nextBatch rows convert 1:1 into GateEvents and every politeness
+    // invariant holds over REAL engine output, not synthetic events.
+    import graft.spark.{SparkFrontier, ScoreStrategy}
+    val root = java.nio.file.Files.createTempDirectory("gate-seam").toString
+    val frontier = new SparkFrontier(spark, root, partitions = 2,
+      stateBuckets = 2, strategy = ScoreStrategy.BFS, globalOrder = true,
+      useBloom = false)
+    val floodUrls = (1 to 6).map(i => s"http://flood.example/p/$i")
+    val quietUrls = (1 to 2).map(i => s"http://quiet.example/p/$i")
+    frontier.addSeeds(scala.util.Random.shuffle(floodUrls ++ quietUrls))
+    val batch = frontier.nextBatch(100)
+    val rows = batch.select($"url", $"host").as[(String, String)].collect()
+    batch.unpersist()
+    assert(rows.length == 8, "fixture: the whole frontier dequeues")
+    assert(rows.map(_._2).toSet == Set("flood.example", "quiet.example"),
+      "slot keys come from the queue's host column")
+    val events = rows.zipWithIndex.map { case ((url, host), i) =>
+      GateEvent(host, url, i + 1L) }
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[GateEvent]
+    val gated = FetchGate(input.toDS(), capacity = 2.0, refillPerBatch = 2.0,
+      drainIntervalMs = 50)
+    val grants = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long, Long)]()
+    val q = gated.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Granted], id: Long) =>
+        b.collect().foreach(g => grants.add((g.slot, g.url, g.seq, id)))
+        ()
+      }
+      .start()
+    try {
+      input.addData(events: _*)
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (grants.size < events.length && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val g = grants.asScala.toList
+      // nothing the engine dequeued is lost or duplicated by the gate
+      assert(g.map(_._2).sorted == (floodUrls ++ quietUrls).sorted.toList)
+      // politeness: no slot granted more than `capacity` in one batch
+      g.groupBy(t => (t._1, t._4)).foreach { case (k, rs) =>
+        assert(rs.size <= 2, s"slot/batch $k granted ${rs.size} > capacity") }
+      // the flooded host spread over >= 3 refill rounds; the quiet host
+      // cleared in its first active batch (slot isolation)
+      assert(g.filter(_._1 == "flood.example").map(_._4).distinct.size >= 3)
+      assert(g.filter(_._1 == "quiet.example").map(_._4).distinct.size == 1)
+      // FIFO per slot in dequeue order
+      val fSeqs = g.filter(_._1 == "flood.example").sortBy(_._4).map(_._3)
+      assert(fSeqs == fSeqs.sorted, s"dequeue order violated: $fSeqs")
+    } finally q.stop()
+  }
 }
