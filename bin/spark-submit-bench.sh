@@ -16,8 +16,14 @@ SF_DIR="${1:-/root/testdata/sf0.1}"
 CPUS="${2:-32}"
 JAR="$(dirname "$0")/../target/scala-2.13/fronteraspark_2.13-0.1.0.jar"
 [ -f "$JAR" ] || { echo "run 'sbt package' first" >&2; exit 1; }
+# local mode runs driver + executors in ONE JVM: spark-submit's 1g default
+# driver heap must be raised to the same heap the sbt-forked runs use, or
+# the shuffle-heavy suite OOMs mid-run (observed: heap exhaustion ~10 min
+# in at the default). On a real cluster size executor memory instead.
+DRIVER_MEM="${SPARK_DRIVER_MEM:-8g}"
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
   exec /opt/spark/bin/spark-submit \
     --master "local[$CPUS]" \
+    --driver-memory "$DRIVER_MEM" \
     --conf spark.ui.enabled=false \
     --class graft.Bench "$JAR"
