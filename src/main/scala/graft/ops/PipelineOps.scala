@@ -1041,6 +1041,70 @@ object PipelineOps {
        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr""".stripMargin
   }
 
+  /** Benchmark decontamination (the eval-overlap pass every pretraining
+    * pipeline runs before training: flag training documents that share
+    * any W-token shingle with the held-out benchmark set, GPT-3
+    * appendix-C / Gopher-style). The "benchmark" here is the
+    * deterministic `doc_id % 10 == 0` stripe of the corpus itself (no
+    * external data in this sandbox); in production it is the eval-suite
+    * text and W=13. W=4 keeps shingles discriminative on this synthetic
+    * corpus — its vocabulary is ~30 words, so 13-grams almost never
+    * collide and bigrams always do.
+    *
+    * Contract: documents with <W tokens cannot be contaminated and are
+    * absent from the result; only flagged docs (≥1 shared shingle)
+    * return, with the DISTINCT contaminated-shingle count and the
+    * contaminated fraction of the doc's distinct shingle set.
+    *
+    * Scale: the eval shingle-hash set is tiny next to the corpus (a
+    * full eval suite is ~10^6 shingles ≈ tens of MB of md5s) — so it is
+    * BROADCAST and the corpus side never shuffles for the membership
+    * test: one explode → per-doc distinct → broadcast-hash join →
+    * per-doc count, everything else keyed by doc_id. No corpus
+    * self-join anywhere (contrast near-dup, which needs doc×doc —
+    * decontamination is corpus×small and must stay map-side at 100 TB). */
+  private val DecontW = 4
+  private val DecontEvalMod = 10
+
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= DecontW)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (DecontW - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(DecontW))))))
+        .as("h"))
+      .distinct()
+    val evalSet = sh.filter(col("doc_id") % DecontEvalMod === 0)
+      .select(col("h")).distinct()
+    val corpus = sh.filter(col("doc_id") % DecontEvalMod =!= 0)
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    corpus.join(broadcast(evalSet), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("contaminated_frac",
+        round(col("n_contaminated").cast(DoubleType) / col("n_shingles"), 6))
+      .select(col("doc_id"), col("n_contaminated"), col("contaminated_frac"))
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         md5(array_to_string(
+       |           (string_split(text,' '))[i:i+${DecontW - 1}], ' ')) AS h
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(range(1,
+       |         len(string_split(text,' ')) - ${DecontW - 2})) AS i) f
+       |  WHERE len(string_split(text,' ')) >= $DecontW),
+       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $DecontEvalMod = 0),
+       |corpus AS (SELECT * FROM sh WHERE doc_id % $DecontEvalMod <> 0),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+       |hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+       |         FROM corpus c JOIN ev USING (h) GROUP BY 1)
+       |SELECT doc_id, n_contaminated,
+       |       round(n_contaminated::DOUBLE / n_shingles, 6) AS contaminated_frac
+       |FROM hits JOIN sizes USING (doc_id)""".stripMargin
+
   // =====================================================================
   // Multimodal plumbing: opaque binary payload + typed metadata
   // =====================================================================
@@ -1266,6 +1330,7 @@ object PipelineOps {
     "q_text_repetition" -> (qTextRepetition _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_framesample" -> (qMultimodalFramesample _),
     "q_domain_ban_filter" -> (qDomainBanFilter _),
@@ -1308,6 +1373,7 @@ object PipelineOps {
     "q_text_repetition" -> qTextRepetitionSql,
     "q_dedup_paragraph" -> qDedupParagraphSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_decontaminate" -> qDecontaminateSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_framesample" -> qMultimodalFramesampleSql,
     "q_domain_ban_filter" -> qDomainBanFilterSql,

@@ -118,4 +118,26 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(_._1).toSet
     assert(enKept.subsetOf(enUnderDe))
   }
+
+  test("decontamination: only docs sharing a 4-gram with the eval stripe " +
+       "are flagged; counts are distinct-shingle; short docs absent") {
+    // eval stripe = doc_id % 10 == 0. doc 10 has shingles (e0..e3),
+    // (e1..e4). doc 1 contains (e1 e2 e3 e4) once among its 4 distinct
+    // shingles -> flagged 1/4. doc 2 shares nothing. doc 3 has only 3
+    // tokens (< W): no shingles, absent. doc 4 repeats the contaminated
+    // 4-gram twice -> still counts ONCE (distinct).
+    val dir = corpus(Seq(
+      (10L, "e0 e1 e2 e3 e4", "en", "t", 0L),
+      (1L, "e1 e2 e3 e4 x0 x1 x2", "en", "t", 0L),
+      (2L, "y0 y1 y2 y3 y4", "en", "t", 0L),
+      (3L, "z0 z1 z2", "en", "t", 0L),
+      (4L, "e1 e2 e3 e4 e1 e2 e3 e4", "en", "t", 0L)))
+    val got = PipelineOps.qDecontaminate(spark, dir)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 4's distinct shingles: (e1 e2 e3 e4), (e2 e3 e4 e1),
+    // (e3 e4 e1 e2), (e4 e1 e2 e3) -> 4 distinct (the wrap-around
+    // shingles repeat), 1 contaminated
+    assert(got === Seq((1L, 1L, 0.25), (4L, 1L, 0.25)))
+  }
 }

@@ -77,6 +77,17 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination joins the eval shingle set broadcast, never a corpus self-join") {
+    // the corpus side may shuffle for its per-doc distinct/aggs (keyed
+    // by doc_id/hash), but the eval-membership test itself must be a
+    // broadcast-hash join — at 100 TB the corpus×eval join being
+    // sort-merge would shuffle the whole exploded shingle table a
+    // second time for a ~MB-scale probe set
+    val plan = formatted("q_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("stratified sample broadcasts the rate table and never shuffles the corpus") {
     val plan = formatted("q_sample_stratified")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
