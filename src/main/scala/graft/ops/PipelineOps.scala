@@ -783,6 +783,46 @@ object PipelineOps {
        |FROM assigned a JOIN probed USING (cid), q
        |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin
 
+  /** Batched ANN: top-k for MANY query vectors in one pass — the shape
+    * retrieval/eval jobs actually run (a query BATCH against the corpus,
+    * not one vector). Query side = vec_ids 0..3, broadcast; corpus side
+    * = everything else, scanned ONCE; per-query ranking is a window
+    * partitioned by q_id (hash-partitioned by query — no global sort),
+    * row_number ≤ 3 with the same rounded-cosine/vec_id tie order as
+    * the single-query top-k. Scale: one corpus pass serves the whole
+    * batch (vs |Q| TakeOrdered passes); the window state per partition
+    * is O(batch × k). The IVF/LSH list pruning composes in front of it
+    * unchanged. */
+  def qAnnBatchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 4)
+    val scored = corpus.crossJoin(broadcast(qs))
+      .withColumn("cos", expr(cosSpark("embedding", "qv")))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"),
+        col("vec_id"), col("cos"))
+  }
+
+  val qAnnBatchTopkSql: String =
+    s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qv
+       |            FROM embeddings WHERE vec_id < 4),
+       |scored AS (
+       |  SELECT qs.q_id, e.vec_id, ${cosDuck("e.embedding", "qs.qv")} AS cos
+       |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id >= 4),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 3""".stripMargin
+
   /** Embedding near-dup pairs: candidates blocked by (sign-LSH band,
     * label), exact cosine ≥ 0.35 confirms (threshold fits the synthetic
     * embedding spread). Two 4-bit bands of the 8-bit signature are
@@ -1322,6 +1362,7 @@ object PipelineOps {
     "q_ann_cosine_topk" -> (qAnnCosineTopk _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_batch_topk" -> (qAnnBatchTopk _),
     "q_embed_near_dup" -> (qEmbedNearDup _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
@@ -1365,6 +1406,7 @@ object PipelineOps {
     "q_ann_cosine_topk" -> qAnnCosineTopkSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_batch_topk" -> qAnnBatchTopkSql,
     "q_embed_near_dup" -> qEmbedNearDupSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,

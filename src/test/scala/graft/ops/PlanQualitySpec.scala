@@ -77,6 +77,18 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("batch ANN broadcasts the query batch and ranks in a per-query window") {
+    // one corpus pass serves the whole query batch: the query side must
+    // be broadcast (corpus × tiny-batch, never a shuffle join) and the
+    // ranking window must hash-partition by q_id (a global-sort window
+    // would funnel the scored corpus through one partition)
+    val plan = formatted("q_ann_batch_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(q_id"), plan)
+  }
+
   test("decontamination joins the eval shingle set broadcast, never a corpus self-join") {
     // the corpus side may shuffle for its per-doc distinct/aggs (keyed
     // by doc_id/hash), but the eval-membership test itself must be a
