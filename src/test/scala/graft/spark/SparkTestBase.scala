@@ -8,6 +8,10 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the deploy-time `--conf spark.sql.extensions=graft.spark
+      // .GraftExtensions` path, wired here so every suite runs with the
+      // SQL-registered frontier functions
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
