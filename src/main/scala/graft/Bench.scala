@@ -71,10 +71,13 @@ object Bench {
   /** Soft "Max open files" rlimit from /proc/self/limits (−1 unknown). */
   private def fdLimit(): Long =
     try {
-      scala.io.Source.fromFile("/proc/self/limits").getLines()
-        .find(_.startsWith("Max open files"))
-        .map(_.drop("Max open files".length).trim.split("\\s+")(0).toLong)
-        .getOrElse(-1L)
+      val src = scala.io.Source.fromFile("/proc/self/limits")
+      try {
+        src.getLines()
+          .find(_.startsWith("Max open files"))
+          .map(_.drop("Max open files".length).trim.split("\\s+")(0).toLong)
+          .getOrElse(-1L)
+      } finally src.close() // the leak DETECTOR must not leak the fd itself
     } catch { case _: Throwable => -1L }
 
   private var fdPeak = 0

@@ -793,6 +793,15 @@ final class SparkFrontier(
     // feed-partition gate
     def inflight(b: Int): Long =
       m.props.get(s"fc.p$b").map(_.toLong).getOrElse(0L)
+    // a batch that is empty only because every bucket is flow-control
+    // busy must NOT arm the DELAY_ON_EMPTY backoff below: the queue
+    // isn't drained, and the backoff would keep short-circuiting for N
+    // epochs after the in-flight lag clears (the reference keeps the
+    // two mechanisms apart — the busy-partition gate lives in the DB
+    // worker's batchgen, DELAY_ON_EMPTY in the spider scheduler's
+    // genuinely-empty poll)
+    val fcExcludedBuckets = flowControl &&
+      m.bucketPaths.exists { case (b, _) => inflight(b) >= maxNextRequests }
     // per bucket: bands sorted best-first with manifest row counts
     val bandsByBucket: Map[Int, Vector[(Int, Vector[String], Long)]] =
       m.bucketPaths
@@ -990,10 +999,14 @@ final class SparkFrontier(
         .select($"partition_id", bandExpr.as("band")).distinct()
         .as[(Int, Int)].collect()
     // arm/clear the DELAY_ON_EMPTY backoff (reference: delay set on an
-    // empty poll, reset to 0 by any non-empty one)
+    // empty poll, reset to 0 by any non-empty one). An empty batch with
+    // flow-control-excluded buckets is "busy", not "drained" — never
+    // arms (see fcExcludedBuckets above).
     if (delayOnEmptyEpochs > 0)
       emptyBackoffUntil =
-        if (batchGroups.isEmpty) nowEpoch + delayOnEmptyEpochs else Long.MinValue
+        if (batchGroups.isEmpty && !fcExcludedBuckets)
+          nowEpoch + delayOnEmptyEpochs
+        else Long.MinValue
     val batchCounts = batchGroups.map { case (b, band, n) => (b, band) -> n }.toMap
     val touchedGroups = (batchGroups.map(t => (t._1, t._2)) ++ blGroups).distinct
       .map { case (b, band) => (b, band, batchCounts.getOrElse((b, band), 0L)) }

@@ -148,6 +148,60 @@ class ErrorAndReplaySpec extends AnyFunSuite {
     b1.unpersist()
   }
 
+  test("A7 + DELAY_ON_EMPTY: an all-busy empty batch never arms the backoff") {
+    // regression: the empty batch produced when EVERY bucket is
+    // flow-control busy used to arm the delayOnEmptyEpochs backoff —
+    // conflating "partitions busy" with "queue drained" — so dequeues
+    // kept short-circuiting for the whole backoff window AFTER the lag
+    // cleared. Busy-empty must not arm; genuinely-drained still must.
+    val root = Files.createTempDirectory("graft-fcdelay").toString
+    val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
+      strategy = ScoreStrategy.BFS, globalOrder = false, useBloom = false,
+      flowControl = true, delayOnEmptyEpochs = 100)
+    f.bulkSchedule(spark.range(40).select(
+      concat(lit("http://fcd"), $"id" % 8, lit(".com/p/"), $"id").as("url"),
+      ($"id".cast("double") / 1000.0).as("score"), lit(0).as("depth")))
+
+    val b1 = f.nextBatch(5).cache()
+    assert(b1.count() > 0)
+    // all partitions busy -> empty batch, but a real scan happened and
+    // the backoff must NOT be armed
+    val busy = f.nextBatch(5)
+    assert(busy.count() == 0)
+    assert(!f.lastScan.skippedOnEmpty, "busy-empty is a scan, not a skip")
+
+    val pages = b1.select($"fingerprint", $"url", $"depth", $"score", $"created_at")
+    val noLinks = Seq.empty[(Double, Long, Int, Int, String)]
+      .toDF("parent_score", "parent_created", "parent_depth", "link_idx", "link_url")
+    f.processCrawled(pages, noLinks, f.lastProcessedEpoch + 1)
+    // lag cleared: the very next dequeue must produce rows immediately
+    // (with the bug it short-circuited for the next 100 epochs)
+    val b2 = f.nextBatch(5)
+    assert(b2.count() > 0, "cleared lag must dequeue immediately")
+    assert(!f.lastScan.skippedOnEmpty)
+    b1.unpersist()
+
+    // and a GENUINE drain still arms: drain everything, then observe the
+    // short-circuit
+    var guard = 0
+    var drained = false
+    while (!drained && guard < 50) {
+      val b = f.nextBatch(1000).cache()
+      val n = b.count()
+      if (n == 0) drained = true
+      else f.processCrawled(
+        b.select($"fingerprint", $"url", $"depth", $"score", $"created_at"),
+        noLinks, f.lastProcessedEpoch + 1)
+      b.unpersist()
+      guard += 1
+    }
+    assert(drained)
+    val afterDrain = f.nextBatch(1000)
+    assert(afterDrain.count() == 0)
+    assert(f.lastScan.skippedOnEmpty,
+      "drained frontier inside the backoff window must skip the scan")
+  }
+
   test("orphan commit dir from a crashed writer does not brick the store") {
     val root = Files.createTempDirectory("graft-orphan").toString
     val store = new BucketStore(s"$root/t", "b", 4)
