@@ -44,7 +44,8 @@ object BenchProbe {
   private def crawlProbe(big: Boolean, threads: Int): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
-      .config("spark.sql.shuffle.partitions", threads * 3)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("GRAFT_PROBE_SHUFFLE").map(_.toInt).getOrElse(threads * 3))
       .config("spark.sql.adaptive.enabled",
         !sys.env.contains("GRAFT_PROBE_NO_AQE"))
       .config("spark.ui.enabled", "false")
@@ -72,10 +73,12 @@ object BenchProbe {
       else if (disc) new SparkFrontier(spark, root, partitions = 4,
         stateBuckets = 4, strategy = ScoreStrategy.Basic, globalOrder = true,
         ordering = graft.local.QueueOrdering.ScoreCreatedDesc,
+        asyncDequeueCommit = sys.env.contains("GRAFT_PROBE_ASYNC"),
         discovery = Some(graft.spark.DiscoveryConfig(maxPagesPerDomain = 100,
           sameDomainOnly = true, justifyScores = true)))
       else new SparkFrontier(spark, root, partitions = 4,
-        stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true)
+        stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true,
+        asyncDequeueCommit = sys.env.contains("GRAFT_PROBE_ASYNC"))
     import spark.implicits._
     // GRAFT_PROBE_DISC: the q_frontier_discovery shape (robots + sitemap
     // probes, budget joins, domain-meta merges — the discovery epoch's
@@ -146,8 +149,40 @@ object BenchProbe {
     spark.stop()
   }
 
+  /** Dump .explain("formatted") of suite queries to a directory (the
+    * plan evidence for the optimization-round deliverables):
+    * runMain graft.BenchProbe plans <sfDir> <outDir> [q1,q2,... | all] [suffix] */
+  private def plansProbe(sfDir: String, outDir: String, names: Seq[String],
+      suffix: String): Unit = {
+    val threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads * 3)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, s"$name$suffix.txt"), plan)
+      println(s"[plan] wrote $outDir/$name$suffix.txt")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("kernel")) { kernelProbe(); return }
+    if (args.headOption.contains("plans")) {
+      val names =
+        if (args.lift(3).forall(_ == "all")) SparkEntry.queries.keys.toSeq.sorted
+        else args(3).split(',').toSeq
+      plansProbe(args(1), args(2), names, args.lift(4).getOrElse("_before"))
+      return
+    }
     if (args.headOption.contains("queries")) {
       queriesProbe(args(1), args(2).split(',').toSeq,
         args.lift(3).map(_.toInt).getOrElse(2))

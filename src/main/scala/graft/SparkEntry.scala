@@ -7,6 +7,26 @@ import graft.local.Graphs
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
+  /** Isolated child session for the end-to-end conformance crawls, with
+    * shuffle parallelism sized to the WORKLOAD instead of the host
+    * (guide §2: make partitioning scale-adaptive, not a constant tuned
+    * for the box): these crawls run a full engine epoch loop over pinned
+    * ≤30-row oracle graphs through a 4-bucket store, so a shuffle has at
+    * most 4 meaningful partitions — inheriting the bench session's
+    * cores×3 shuffle partitions only multiplies empty tasks, and AQE's
+    * per-stage materialization turns each of the ~8 per-epoch actions
+    * into ~4 scheduled jobs (measured: 30+ jobs/epoch, ~130 ms fixed
+    * cost each; see OPTIMIZATION_r06.md). `newSession()` shares the
+    * SparkContext but scopes SQLConf, so the tuning never leaks into the
+    * other suite queries or the caller's session. Purely physical:
+    * plans, results and the crawl sequence are unchanged. */
+  private def conformanceSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
   /** Flagship: an end-to-end frontier crawl (seed → schedule → dequeue →
     * fetch-join → links_extracted → states merge), BFS over the SITE_01
     * oracle graph, returning the crawl sequence. */
@@ -24,12 +44,16 @@ object SparkEntry {
 
   /** Frontier crawl as a (rows-only-checked) query: deterministic crawl
     * order over the SITE_02 oracle graph. */
-  private def qFrontierCrawl(spark: SparkSession, dir: String): DataFrame = {
+  private def qFrontierCrawl(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = conformanceSession(spark0)
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-crawl").toString
     val graph = Graphs.site01
+    // asyncDequeueCommit overlaps each epoch's residue-rewrite commit
+    // with the fetch/collect stage — an engine feature, same sequence
     val frontier = new SparkFrontier(spark, root, partitions = 4,
-      stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true)
+      stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true,
+      asyncDequeueCommit = true)
     frontier.addSeeds(graph.seeds)
     val crawler = new SparkCrawler(frontier, GraphTables.webDF(spark, graph), 10)
     crawler.run().zipWithIndex.toDF("url", "crawl_pos")
@@ -41,13 +65,15 @@ object SparkEntry {
     * budget-capped links (0.8/0.5), dequeued highest-first
     * (ScoreCreatedDesc) with crc32-justified scores — fully
     * deterministic, so the crawl order is pinned as a VALUES oracle. */
-  private def qFrontierDiscovery(spark: SparkSession, dir: String): DataFrame = {
+  private def qFrontierDiscovery(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = conformanceSession(spark0)
     import spark.implicits._
     import graft.spark.DiscoveryConfig
     val root = java.nio.file.Files.createTempDirectory("graft-disc").toString
     val f = new SparkFrontier(spark, root, partitions = 4, stateBuckets = 4,
       strategy = ScoreStrategy.Basic, globalOrder = true,
       ordering = graft.local.QueueOrdering.ScoreCreatedDesc,
+      asyncDequeueCommit = true,
       discovery = Some(DiscoveryConfig(maxPagesPerDomain = 100,
         sameDomainOnly = true, justifyScores = true)))
     val robotsBody =
@@ -69,12 +95,14 @@ object SparkEntry {
   /** End-to-end BFS crawl over the two-host SITE_02 oracle graph: the
     * reference's published BFS SEQUENCE_02_A (tests/backends.py:201-207,
     * pinned for every max_next_requests in 1..100). */
-  private def qFrontierCrawlBfs(spark: SparkSession, dir: String): DataFrame = {
+  private def qFrontierCrawlBfs(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = conformanceSession(spark0)
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-bfs").toString
     val graph = Graphs.site02
     val frontier = new SparkFrontier(spark, root, partitions = 4,
-      stateBuckets = 4, strategy = ScoreStrategy.BFS, globalOrder = true)
+      stateBuckets = 4, strategy = ScoreStrategy.BFS, globalOrder = true,
+      asyncDequeueCommit = true)
     frontier.addSeeds(graph.seeds)
     val crawler = new SparkCrawler(frontier, GraphTables.webDF(spark, graph), 100)
     crawler.run().zipWithIndex.toDF("url", "crawl_pos")

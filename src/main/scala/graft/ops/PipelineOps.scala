@@ -22,6 +22,19 @@ object PipelineOps {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Redistribute a small-file scan across the cluster before per-row
+    * generative/compute-heavy stages. The suite inputs are single small
+    * parquet files, so the scan yields ONE task and everything up to the
+    * first Exchange runs single-threaded — the guide §2.5 "input skew"
+    * case ("one huge unsplittable file … repartition immediately after
+    * the read"). Scale-adaptive by construction: at real scale the scan
+    * already has ≥ cores partitions and this is the identity, so no
+    * corpus-wide shuffle is ever added at 100 TB. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** URL corpus: deterministic URL per event row. ~50 hosts ⇒ heavy host
     * skew is possible — exactly the shape the frontier partitioner
     * handles via crc32(host) bucketing at scale. */
@@ -334,19 +347,29 @@ object PipelineOps {
   private val NgramDfCap = 50
 
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = spread(t(spark, dir, "documents"))
       .withColumn("toks", split(col("text"), " "))
+    // per-doc shingle dedup map-side (array_distinct before the explode,
+    // same set as the former corpus-wide distinct on (doc_id, lang,
+    // shingle) since lang is per-doc) — one Exchange removed (guide §2.4)
     val sh0 = docs
-      .withColumn("shingle", explode(
+      .withColumn("shingle", explode(array_distinct(
         when(size(col("toks")) >= 3,
           transform(sequence(lit(1), size(col("toks")) - 2),
             i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
-          .otherwise(array())))
-      .select(col("doc_id"), col("lang"), col("shingle")).distinct()
-    val rare = sh0.groupBy(col("lang"), col("shingle"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= NgramDfCap)
-      .select(col("lang"), col("shingle"))
-    val sh = sh0.join(rare, Seq("lang", "shingle"))
+          .otherwise(array()))))
+      .select(col("doc_id"), col("lang"), col("shingle"))
+    // df cap as a count window over ONE (lang, shingle) shuffle instead
+    // of an aggregate + self-join back (which re-ran the whole explode a
+    // second time for the probe side); materialize the capped frame — it
+    // feeds the sizes agg and BOTH sides of the pair join (3 consumers).
+    // localCheckpoint, not cache: CacheManager would match the identical
+    // plan of a LATER run and serve it pre-computed (cross-run caching)
+    val dfW = Window.partitionBy(col("lang"), col("shingle"))
+    val sh = sh0.withColumn("__df", count(lit(1)).over(dfW))
+      .filter(col("__df") <= NgramDfCap)
+      .select(col("doc_id"), col("lang"), col("shingle"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -421,19 +444,52 @@ object PipelineOps {
       perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
     val groups = (perms + 3) / 4
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
+    // per-doc token dedup happens MAP-SIDE (array_distinct before the
+    // explode) instead of a corpus-wide (doc_id, tok) distinct — the
+    // oracle's DISTINCT is per-document anyway, so the min-agg input set
+    // is identical, and one full Exchange of the exploded token rows
+    // disappears from the plan (guide §2.4). The whole signature now
+    // costs exactly ONE shuffle (the partial-aggregated groupBy doc_id).
+    val toks = spread(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
     val digs = toks.select(col("doc_id") +:
       (0 until groups).map(g =>
         md5(concat(col("tok"), lit(s"|$g"))).as(s"d$g")): _*)
+    // min over the NUMERIC value of each 8-hex-char sub-hash, not the
+    // string: for fixed-width lowercase hex, lexicographic order equals
+    // numeric order, so min(hex string) == hex(min(long)) — but a LONG
+    // agg buffer keeps the 128-column aggregate on the fixed-width
+    // HashAggregate fast path, where var-length string buffers forced
+    // sort-based aggregation (measured 5-8 s for a 116k-row input)
     val minCols = (0 until perms).map(i =>
-      min(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
+      min(conv(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
+        .cast(LongType)).as(s"h$i"))
+    // materialize the signatures: the banded SELF-join below broadcasts
+    // one side, and a BroadcastExchange never reuses the other side's
+    // shuffle — without this the whole corpus pass (explode + perms/4
+    // md5s per token + min-agg) ran TWICE, once per join side (measured
+    // in the r6 before-plan: two full Scan→Generate→Exchange→Agg
+    // subtrees). One row per doc — tiny next to the token stream.
+    // localCheckpoint, not cache: CacheManager would match the identical
+    // plan of a LATER run and serve it pre-computed (cross-run caching).
     val sigs = digs.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-    val banded = (0 until bands).map { b =>
-      val rowCols = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      sigs.select(col("doc_id"), md5(concat(rowCols: _*)).as("bk"))
-    }.reduce(_.union(_))
+      .localCheckpoint()
+    // ONE projection computes all band keys, exploded into rows — the
+    // former `bands`-way union re-ran the final aggregate once per band
+    // over the (ReuseExchange-shared) shuffle output; this is one pass.
+    // The band key md5 sees the SAME hex strings as before (lpad/lower/
+    // hex reconstructs the 8-char substring exactly). The checkpointed
+    // signatures coalesce to ~1 partition (5k narrow rows), so the
+    // probe side is spread back out — otherwise the band join and the
+    // pair-distinct's partial aggregation (the query's real data volume:
+    // 19.3M candidate rows at sf0.1) run in ONE task.
+    val banded = spread(sigs).select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
+        val rowCols = (0 until rows).map(r =>
+          lpad(lower(hex(col(s"h${b * rows + r}"))), 8, "0"))
+        md5(concat(rowCols: _*))
+      }: _*)).as("bk"))
     banded.as("a").join(banded.as("b"),
       col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -484,7 +540,7 @@ object PipelineOps {
     (1 to 16).map(i => s"(CASE WHEN s$i > 0 THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
 
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
+    val toks = spread(t(spark, dir, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     toks.groupBy("doc_id")
       .agg(expr(simhashBitsSql.head),
@@ -524,11 +580,21 @@ object PipelineOps {
     val mask = (1L << bandBits) - 1
     val bandArr = array((0 until bands).map(b =>
       struct(lit(b).as("b"),
-        shiftrightunsigned(col(hashCol), b * bandBits)
+        shiftrightunsigned(col("__h"), b * bandBits)
           .bitwiseAND(lit(mask)).as("bk"))): _*)
-    val banded = df
-      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
-        explode(bandArr).as("band"))
+    // materialize the (id, hash) signatures first: the banded SELF-join
+    // broadcasts one side, and a BroadcastExchange never reuses the
+    // other side's work — without this the upstream signature plan (for
+    // simhash: the full token explode + 16 conditional aggs) ran TWICE,
+    // once per join side. One narrow row per id. localCheckpoint, not
+    // cache (cache would serve a LATER identical run pre-computed).
+    val sig = df.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .localCheckpoint()
+    // spread the checkpointed signatures back out (they coalesce to ~1
+    // partition): the probe side's partitioning is what parallelizes
+    // the band join and the candidate-distinct's partial aggregation
+    val banded = spread(sig)
+      .select(col("__id"), col("__h"), explode(bandArr).as("band"))
       .select(col("__id"), col("__h"),
         col("band.b").as("__b"), col("band.bk").as("__bk"))
     banded.as("a").join(banded.as("b"),
@@ -580,8 +646,16 @@ object PipelineOps {
     * (at a real 100 TB run this is a reliable checkpoint dir instead).
     * Returns (node, cluster_id) for every node incident to an edge. */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both edge directions from ONE pass over `pairs` (explode of a
+    // 2-struct array) — the former union evaluated the whole upstream
+    // pair-finding plan twice, once per direction (guide §2.4). AQE's
+    // coalesced partitioning is kept as-is: a forced cluster-wide
+    // repartition was MEASURED SLOWER here (0.6 s → 1.1 s per round at
+    // 898k edges — per-task overhead beats the extra parallelism).
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster_id", col("node")).localCheckpoint()
@@ -832,6 +906,11 @@ object PipelineOps {
     * label would otherwise go quadratic); each band join is a sparse
     * hash join, all hash-partitioned. */
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the signed banded frame: the blocked SELF-join below
+    // broadcasts one side, so the 8-hyperplane signature projection (8 ×
+    // 64-element fold per row) would otherwise run twice, once per side.
+    // localCheckpoint, not cache (cache would serve a LATER identical
+    // run pre-computed).
     val emb = t(spark, dir, "embeddings")
       .filter(col("vec_id") % 2 === 0)
       .selectExpr("vec_id", "label", "embedding", s"CAST($lshSigSpark AS INT) AS sig")
@@ -839,6 +918,7 @@ object PipelineOps {
         concat(lit("b0_"), pmod(col("sig"), lit(16))),
         concat(lit("b1_"), floor(col("sig") / 16)))))
       .select(col("vec_id"), col("label"), col("embedding"), col("bk"))
+      .localCheckpoint()
     val joined = emb.as("a").join(emb.as("b"),
       col("a.bk") === col("b.bk") &&
         col("a.label") === col("b.label") &&
@@ -957,7 +1037,7 @@ object PipelineOps {
   private val ParaChunkToks = 10
 
   def qDedupParagraph(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = spread(t(spark, dir, "documents"))
       .withColumn("toks", split(col("text"), " "))
     val ex = docs.select(col("doc_id"),
         posexplode(transform(
@@ -1015,7 +1095,7 @@ object PipelineOps {
     * throws; the SQL mirror filters identically so both engines agree
     * row-for-row. */
   def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = spread(t(spark, dir, "documents"))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
     val tri = transform(sequence(lit(1), size(col("toks")) - 2),
@@ -1107,14 +1187,21 @@ object PipelineOps {
   private val DecontEvalMod = 10
 
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = t(spark, dir, "documents")
+    // per-doc shingle-hash dedup map-side (array_distinct before the
+    // explode — the corpus-wide distinct was per-(doc_id, h) anyway), so
+    // the per-doc distinct costs no Exchange; the frame is MATERIALIZED
+    // because three consumers read it (eval set, sizes, membership join)
+    // — the plan otherwise re-ran the explode once per consumer.
+    // localCheckpoint, not cache: CacheManager would match the identical
+    // plan of a LATER run and serve it pre-computed (cross-run caching)
+    val sh = spread(t(spark, dir, "documents"))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= DecontW)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("toks")) - (DecontW - 1)),
-          i => md5(concat_ws(" ", slice(col("toks"), i, lit(DecontW))))))
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(DecontW)))))))
         .as("h"))
-      .distinct()
+      .localCheckpoint()
     val evalSet = sh.filter(col("doc_id") % DecontEvalMod === 0)
       .select(col("h")).distinct()
     val corpus = sh.filter(col("doc_id") % DecontEvalMod =!= 0)
