@@ -48,18 +48,36 @@ object BenchProbe {
         sys.env.get("GRAFT_PROBE_SHUFFLE").map(_.toInt).getOrElse(threads * 3))
       .config("spark.sql.adaptive.enabled",
         !sys.env.contains("GRAFT_PROBE_NO_AQE"))
+      .config("spark.sql.codegen.wholeStage",
+        (!sys.env.contains("GRAFT_PROBE_NO_CODEGEN")).toString)
+      .config("spark.sql.codegen.factoryMode",
+        if (sys.env.contains("GRAFT_PROBE_NO_CODEGEN")) "NO_CODEGEN"
+        else "FALLBACK")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val verbose = sys.env.contains("GRAFT_PROBE_JOBS")
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-        if (verbose)
-          println(s"[job] ${js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ")}")
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        val name = desc + " :: " +
+          js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ")
+        jobStarts.put(js.jobId, (js.time, name))
+        if (verbose) println(s"[job] $name")
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobStarts.remove(je.jobId)
+        if (verbose && s != null)
+          println(f"[jobend] ${(je.time - s._1) / 1e3}%8.2f s  ${s._2.take(120)}")
       }
     })
+    val rounds = sys.env.get("GRAFT_PROBE_ROUNDS").map(_.toInt).getOrElse(1)
+    for (round <- 1 to rounds) {
     val root = java.nio.file.Files.createTempDirectory("graft-cprobe").toString
     val disc = !big && sys.env.contains("GRAFT_PROBE_DISC")
     val graph =
@@ -74,11 +92,13 @@ object BenchProbe {
         stateBuckets = 4, strategy = ScoreStrategy.Basic, globalOrder = true,
         ordering = graft.local.QueueOrdering.ScoreCreatedDesc,
         asyncDequeueCommit = sys.env.contains("GRAFT_PROBE_ASYNC"),
+        useBloom = !sys.env.contains("GRAFT_PROBE_NOBLOOM"),
         discovery = Some(graft.spark.DiscoveryConfig(maxPagesPerDomain = 100,
           sameDomainOnly = true, justifyScores = true)))
       else new SparkFrontier(spark, root, partitions = 4,
         stateBuckets = 4, strategy = ScoreStrategy.DFS, globalOrder = true,
-        asyncDequeueCommit = sys.env.contains("GRAFT_PROBE_ASYNC"))
+        asyncDequeueCommit = sys.env.contains("GRAFT_PROBE_ASYNC"),
+        useBloom = !sys.env.contains("GRAFT_PROBE_NOBLOOM"))
     import spark.implicits._
     // GRAFT_PROBE_DISC: the q_frontier_discovery shape (robots + sitemap
     // probes, budget joins, domain-meta merges — the discovery epoch's
@@ -120,10 +140,13 @@ object BenchProbe {
       if (continue) {
         e += 1
         val commits = versions().zip(v0).map { case (a, b) => a - b }.sum
-        println(f"[crawl] epoch$e%-3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${jobs.get() - j0}%3d jobs  $commits%2d manifest commits  (dequeue scan=${frontier.lastScan.scanSec}%.2f rewrite=${frontier.lastScan.rewriteSec}%.2f, ${crawler.urlsCrawled} urls so far)")
+        println(f"[crawl] epoch$e%-3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  ${jobs.get() - j0}%3d jobs  $commits%2d manifest commits  (dequeue scan=${frontier.lastScan.scanSec}%.2f rewrite=${frontier.lastScan.rewriteSec}%.2f fetch=${crawler.lastFetchSec}%.2f process=${crawler.lastProcessSec}%.2f, ${crawler.urlsCrawled} urls so far)")
       }
     }
     println(f"[crawl] TOTAL ${(System.nanoTime() - tAll) / 1e9}%6.2f s, ${crawler.urlsCrawled} urls, ${jobs.get()} jobs")
+    val cm = org.apache.spark.metrics.source.CodegenMetrics
+    println(f"[codegen] round $round compiled units=${cm.METRIC_COMPILATION_TIME.getCount}%d")
+    }
     spark.stop()
   }
 

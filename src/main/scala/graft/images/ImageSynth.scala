@@ -43,6 +43,10 @@ object ImageSynth {
   private final class Scratch {
     var px: Array[Int] = new Array[Int](0)
     var px2: Array[Int] = new Array[Int](0)
+    var d1: Array[Double] = new Array[Double](0)
+    var d2: Array[Double] = new Array[Double](0)
+    var d3: Array[Double] = new Array[Double](0)
+    var d4: Array[Double] = new Array[Double](0)
     var img: BufferedImage = null
     val bos = new ByteArrayOutputStream(32 * 1024)
     def buf1(n: Int): Array[Int] = {
@@ -50,6 +54,18 @@ object ImageSynth {
     }
     def buf2(n: Int): Array[Int] = {
       if (px2.length < n) px2 = new Array[Int](n); px2
+    }
+    def dbuf1(n: Int): Array[Double] = {
+      if (d1.length < n) d1 = new Array[Double](n); d1
+    }
+    def dbuf2(n: Int): Array[Double] = {
+      if (d2.length < n) d2 = new Array[Double](n); d2
+    }
+    def dbuf3(n: Int): Array[Double] = {
+      if (d3.length < n) d3 = new Array[Double](n); d3
+    }
+    def dbuf4(n: Int): Array[Double] = {
+      if (d4.length < n) d4 = new Array[Double](n); d4
     }
     def image(w: Int, h: Int): BufferedImage = {
       if (img == null || img.getWidth != w || img.getHeight != h)
@@ -78,17 +94,73 @@ object ImageSynth {
     val p0 = (seed & 0xff).toDouble / 255.0
     val p1 = ((seed >>> 16) & 0xff).toDouble / 255.0
     val p2 = ((seed >>> 32) & 0xff).toDouble / 255.0
+    // Every channel's argument is f(x) + g(y), so the trig separates by
+    // the angle-addition identities: 6·(w+h) sin/cos evaluations per
+    // image instead of 3·w·h — the fetch+verify hot path synthesizes
+    // this field TWICE per URL, and the transcendental calls were ~30%
+    // of the kernel (guide §1.2 "per-task work"). Pixel values can
+    // differ from the direct formula only by FP rounding in the last
+    // bit (≤1 int step at sin≈0 crossings); both sides of the payload
+    // invariant (rowFor and verifyRow) share this function, and nothing
+    // pins the absolute pixels — only round-trip consistency and the
+    // ≥40 dB JPEG margin, which a ±1 pixel step cannot dent.
+    val s = scratch.get()
+    val xa = s.dbuf1(4 * w) // [sinA, cosA, sinU, cosU] per x, interleaved
+    val ya = s.dbuf2(4 * h) // [sinV, cosV, sinB, cosB] per y, interleaved
+    var x = 0
+    while (x < w) {
+      val u = x.toDouble / w
+      val a = fr * (u + p0)       // r-channel x-part
+      xa(4 * x) = math.sin(a)
+      xa(4 * x + 1) = math.cos(a)
+      xa(4 * x + 2) = math.sin(u) // g-channel x-part
+      xa(4 * x + 3) = math.cos(u)
+      x += 1
+    }
     var y = 0
     while (y < h) {
-      var x = 0
+      val v = y.toDouble / h
+      val b = fr * (v + p1)       // g-channel y-part
+      ya(4 * y) = math.sin(v)
+      ya(4 * y + 1) = math.cos(v)
+      ya(4 * y + 2) = math.sin(b)
+      ya(4 * y + 3) = math.cos(b)
+      y += 1
+    }
+    // b-channel: cos(fr*((u+v)/2 + p2)) = cos(fr*u/2 + fr*(v/2+p2))
+    val bx = s.dbuf3(2 * w)
+    val by = s.dbuf4(2 * h)
+    x = 0
+    while (x < w) {
+      val a = fr * (x.toDouble / w) / 2
+      bx(2 * x) = math.sin(a)
+      bx(2 * x + 1) = math.cos(a)
+      x += 1
+    }
+    y = 0
+    while (y < h) {
+      val b = fr * ((y.toDouble / h) / 2 + p2)
+      by(2 * y) = math.sin(b)
+      by(2 * y + 1) = math.cos(b)
+      y += 1
+    }
+    y = 0
+    while (y < h) {
+      val sinV = ya(4 * y); val cosV = ya(4 * y + 1)
+      val sinB = ya(4 * y + 2); val cosB = ya(4 * y + 3)
+      val sinBy = by(2 * y); val cosBy = by(2 * y + 1)
+      var i = y * w
+      x = 0
       while (x < w) {
-        val u = x.toDouble / w
-        val v = y.toDouble / h
-        val r = (127.5 * (1 + math.sin(fr * (u + p0) + v))).toInt
-        val g = (127.5 * (1 + math.sin(fr * (v + p1) + u))).toInt
-        val b = (127.5 * (1 + math.cos(fr * ((u + v) / 2 + p2)))).toInt
-        px(y * w + x) = (r << 16) | (g << 8) | b
+        // sin(A + v) = sinA·cosV + cosA·sinV
+        val r = (127.5 * (1 + (xa(4 * x) * cosV + xa(4 * x + 1) * sinV))).toInt
+        // sin(B + u) = sinB·cosU + cosB·sinU
+        val g = (127.5 * (1 + (sinB * xa(4 * x + 3) + cosB * xa(4 * x + 2)))).toInt
+        // cos(Ax + By) = cosAx·cosBy − sinAx·sinBy
+        val b = (127.5 * (1 + (bx(2 * x + 1) * cosBy - bx(2 * x) * sinBy))).toInt
+        px(i) = (r << 16) | (g << 8) | b
         x += 1
+        i += 1
       }
       y += 1
     }

@@ -670,7 +670,12 @@ object PipelineOps {
         .select(edges("src").as("node"), col("cluster_id"),
           lit(null).cast(labels.schema("cluster_id").dataType).as("old"))
       // round 1's labels are the identity (cluster_id == node), so the
-      // jump join would only re-derive each node's own label — skip it
+      // jump join would only re-derive each node's own label — skip it.
+      // (A double jump — label² and label³ per round — was tried in r6
+      // and MEASURED slower: same 8 rounds to converge on the sf0.1
+      // graph, costlier rounds. The convergence here is bounded by the
+      // min value spreading through the edge relation, not the jump
+      // horizon.)
       val withJump =
         if (rounds == 0) viaEdges
         else viaEdges.union(labels.as("l1")

@@ -95,24 +95,34 @@ final class BloomSeen(root: String, fpp: Double = 0.01,
     }
   }
 
-  /** Build the epoch's delta blooms (one Spark job over the update
-    * keys) WITHOUT persisting — lets the caller run the build
+  /** Collect the epoch's delta KEYS per bucket (one Spark job over the
+    * update rows) WITHOUT persisting — lets the caller run the job
     * concurrently with other epoch commits and apply it later under the
-    * states commit lock. */
-  def buildDeltas(updatesDf: DataFrame): Map[Int, BloomFilter] =
-    buildPerBucket(updatesDf)
+    * states commit lock. Keys, not delta Blooms: an epoch's update is
+    * O(batch) keys (a few KB-MB collected), whereas building mergeable
+    * delta blooms allocated a full `expectedPerBucket`-sized filter
+    * (~1.2 MB) per touched bucket per task partition and shuffled those
+    * filters to merge — GBs of allocation per epoch at 32×96, for a
+    * result the driver immediately folds into the sidecar anyway. */
+  def buildDeltas(updatesDf: DataFrame): Map[Int, Array[Long]] = {
+    import updatesDf.sparkSession.implicits._
+    updatesDf.select($"sbucket", $"fingerprint").as[(Int, String)]
+      .rdd
+      .map { case (b, fp) => (b, graft.core.Hashing.seenKey(fp)) }
+      .collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
 
-  /** Incremental update: build delta blooms over just the epoch's new
-    * keys (or take them prebuilt) and merge them into the loaded
-    * sidecars (or a fresh empty bloom for first-touch buckets).
-    * Cost = O(update), not O(bucket). */
+  /** Incremental update: collect the epoch's new keys (or take them
+    * prebuilt) and put them into the loaded sidecars (or a fresh empty
+    * bloom for first-touch buckets). Cost = O(update), not O(bucket). */
   def mergeUpdates(updatesDf: DataFrame, buckets: Set[Int], version: Long,
-      prebuilt: Option[Map[Int, BloomFilter]] = None): Unit = {
+      prebuilt: Option[Map[Int, Array[Long]]] = None): Unit = {
     if (buckets.isEmpty) return
-    val deltas = prebuilt.getOrElse(buildPerBucket(updatesDf))
+    val deltas = prebuilt.getOrElse(buildDeltas(updatesDf))
     buckets.foreach { b =>
       val base = load(b).getOrElse(BloomFilter.create(expectedPerBucket, fpp))
-      deltas.get(b).foreach(base.mergeInPlace)
+      deltas.get(b).foreach(_.foreach(base.putLong))
       persist(b, base, version)
     }
   }

@@ -49,8 +49,13 @@ final class SparkCrawler(
   var epochsRun = 0
   var urlsCrawled = 0L
   var payloadFailures = 0L
+  /** wall-seconds of the last epoch's phases (probe attribution only):
+    * dequeue+fetch/verify action vs the processCrawled commit pipeline */
+  @volatile var lastFetchSec = 0.0
+  @volatile var lastProcessSec = 0.0
 
   def crawlOnce(epochNo: Long): Boolean = {
+    val tEpoch0 = System.nanoTime()
     val batch = frontier.nextBatch(maxNextRequests, atEpoch = epochNo)
     // domain buckets of the batch's hosts, computed for free from the
     // collected sequence — lets processCrawled prune its per-epoch
@@ -69,7 +74,11 @@ final class SparkCrawler(
             Seq($"score".desc, $"created_at".asc, $"url".asc)
           case _ => Seq($"score".asc, $"created_at".asc, $"url".asc)
         }
-        val ordered = batch.orderBy(orderCols: _*)
+        // coalesce(1) + sortWithinPartitions == a global orderBy here,
+        // minus the range-partitioner SAMPLING job a global sort runs
+        // first (2 jobs -> 1 per epoch; conformance batches are <= a few
+        // hundred cached rows, so the single-partition sort is free)
+        val ordered = batch.coalesce(1).sortWithinPartitions(orderCols: _*)
           .select($"url").as[String].collect().toList
         if (ordered.nonEmpty) sequence.append(ordered)
         batchDBuckets = Some(ordered.map { u =>
@@ -95,6 +104,7 @@ final class SparkCrawler(
         payloadFailures += fails
         cnt
       } else batch.count()
+    lastFetchSec = (System.nanoTime() - tEpoch0) / 1e9
     if (n == 0) { batch.unpersist(); return false }
     urlsCrawled += n
 
@@ -184,10 +194,12 @@ final class SparkCrawler(
           $"body".as("robots_body"))
         (webLinks.unionByName(robotsLinks).unionByName(sitemapLinks), Some(dd))
     }
+    val tProc0 = System.nanoTime()
     frontier.processCrawled(pages, links, epochNo,
       nPages = if (fetchError.isEmpty) n else -1L, errors = errs,
       domainData = domainData, aliasSeen = aliasSeen,
       redirectPairs = redirectPairs, parentDBuckets = batchDBuckets)
+    lastProcessSec = (System.nanoTime() - tProc0) / 1e9
     batch.unpersist()
     if (compactEveryEpochs > 0 && epochNo % compactEveryEpochs == 0) {
       frontier.compactQueue()

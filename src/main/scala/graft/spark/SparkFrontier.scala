@@ -215,6 +215,15 @@ final class SparkFrontier(
 
   import spark.implicits._
 
+  /** Label the Spark jobs of a phase (guide: setJobDescription is
+    * thread-local, so concurrent side commits keep distinct labels). */
+  private def labeled[T](desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft: $desc")
+    try body finally sc.setJobDescription(prev)
+  }
+
   val queueSchema: StructType = StructType(Seq(
     StructField("fingerprint", StringType), StructField("url", StringType),
     StructField("host", StringType), StructField("partition_id", IntegerType),
@@ -410,9 +419,9 @@ final class SparkFrontier(
   private def mergeStateUpdates(updates: DataFrame, touched: Set[Int],
       epochNo: Long, counters: Map[String, Long],
       props: Map[String, String] = Map.empty,
-      /** delta blooms prebuilt from `updates` (lets the epoch loop run
-        * the build job concurrently with its other store commits) */
-      prebuiltDeltas: Option[Map[Int, org.apache.spark.util.sketch.BloomFilter]] = None)
+      /** delta keys prebuilt from `updates` (lets the epoch loop run
+        * the collect job concurrently with its other store commits) */
+      prebuiltDeltas: Option[Map[Int, Array[Long]]] = None)
       : Unit = {
     if (touched.isEmpty) return
     states.withTableLock {
@@ -986,10 +995,10 @@ final class SparkFrontier(
     // Derived from `batch` so this action MATERIALIZES the batch cache
     // while `tagged` is still cached underneath — otherwise the caller's
     // first action would re-run the whole band scan + ranking
-    val batchGroups = batch
+    val batchGroups = labeled("dequeue scan+rank+select")(batch
       .select($"partition_id", bandExpr.as("band"))
       .groupBy($"partition_id", $"band").count()
-      .as[(Int, Int, Long)].collect()
+      .as[(Int, Int, Long)].collect())
     // blacklisted rows the scan surfaced force their bands into the
     // rewrite too — that's how they get DELETED even when no selectable
     // row shares their band (reference: dropped at batch generation)
@@ -1019,7 +1028,7 @@ final class SparkFrontier(
     // thread (epoch() itself joins pending commits)
     val commitEpoch = epoch
     val taggedRef = tagged
-    val doCommit: () => Unit = () => {
+    val doCommit: () => Unit = () => labeled("dequeue residue rewrite") {
       if (touchedGroups.nonEmpty) {
         val touchedKeys = touchedGroups.map { case (b, band, _) => s"${b}_$band" }.toSet
         val removePaths = touchedGroups.flatMap { case (b, band, _) =>
@@ -1447,8 +1456,9 @@ final class SparkFrontier(
       .withColumn("sbucket", sbucketCol($"fingerprint"))
       .select(statesSchema.fieldNames.map(col): _*)
       .cache()
-    val updStats = updates.groupBy($"sbucket", $"state").count()
-      .as[(Int, Int, Long)].collect()
+    val updStats = labeled("links pipeline + state-update stats")(
+      updates.groupBy($"sbucket", $"state").count()
+        .as[(Int, Int, Long)].collect())
     val touched = updStats.map(_._1).toSet
     val nScheduled = updStats.collect {
       case (_, s, n) if s == graft.local.States.Queued => n }.sum
@@ -1570,12 +1580,14 @@ final class SparkFrontier(
     // the bloom delta BUILD (a Spark job over the cached updates, no
     // commit) also runs in the parallel window; only the persist happens
     // under the states lock later
-    @volatile var prebuiltDeltas
-      : Option[Map[Int, org.apache.spark.util.sketch.BloomFilter]] = None
+    @volatile var prebuiltDeltas: Option[Map[Int, Array[Long]]] = None
     val parallelWork: Seq[() => Unit] =
-      Seq(() => commitQueue(), () => commitDomainMeta(), () => commitMetadata()) ++
+      Seq(() => labeled("queue append")(commitQueue()),
+        () => labeled("domain-metadata append")(commitDomainMeta()),
+        () => labeled("metadata append")(commitMetadata())) ++
         (if (useBloom && willMergeStates)
-          Seq(() => { prebuiltDeltas = Some(bloomSeen.buildDeltas(updates)) })
+          Seq(() => labeled("bloom delta keys")(
+            { prebuiltDeltas = Some(bloomSeen.buildDeltas(updates)) }))
         else Nil)
     val sideCommits = parallelWork.map(f => new Thread(() =>
       try f() catch { case t: Throwable => commitErrs.add(t) }))
@@ -1587,7 +1599,7 @@ final class SparkFrontier(
     // LAST commit of the epoch, so the jid marker rides in it for free:
     // "marker set" still implies "epoch fully applied" with no extra
     // manifest flip, and a crash anywhere earlier leaves it unset
-    if (willMergeStates) {
+    if (willMergeStates) labeled("states merge") {
       val nCrawled = if (nPages >= 0) nPages else pages.count()
       mergeStateUpdates(updates, touched, epochNo,
         Map("crawled" -> nCrawled, "queued" -> nScheduled),
