@@ -124,11 +124,129 @@ object BenchExtra {
     }
   }
 
+  /** Attribution of the hot-path dequeue scan: same 400k-URL store as
+    * Bench.hotPath, then the scan cost cut into (a) the raw banded
+    * parquet read at several file-split settings (the leaf files are
+    * ~60 KB each, so split packing drives read parallelism), (b) the
+    * window-rank + cache + collect pipeline on top of it. */
+  private def dequeueProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.spark.{SparkFrontier, ScoreStrategy}
+    val root = java.nio.file.Files.createTempDirectory("graft-dqx").toString
+    val parts = 32
+    val f = new SparkFrontier(spark, root, partitions = parts,
+      stateBuckets = parts, strategy = ScoreStrategy.BFS, globalOrder = false)
+    time("prefill 400k") {
+      f.bulkSchedule(spark.range(400000L).select(
+        concat(lit("http://host"), $"id" % 600, lit(".example/p/"), $"id").as("url"),
+        (($"id" % 100).cast("double") / 100.0).as("score"),
+        ($"id" % 4).cast("int").as("depth")))
+    }
+    val q = f.queue
+    def rawRead(tag: String): Unit =
+      for (r <- 1 to 2)
+        time(s"raw read noop [$tag] r$r")(noop(q.read(spark)))
+    rawRead("default openCost=4M")
+    spark.conf.set("spark.sql.files.openCostInBytes", 32L * 1024 * 1024)
+    rawRead("openCost=32M")
+    spark.conf.set("spark.sql.files.openCostInBytes", 128L * 1024 * 1024)
+    rawRead("openCost=128M")
+    spark.conf.unset("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.minPartitionNum",
+      spark.sparkContext.defaultParallelism)
+    rawRead(s"minPartitionNum=${spark.sparkContext.defaultParallelism}")
+    spark.conf.unset("spark.sql.files.minPartitionNum")
+    // stage attribution of the epoch-1 tagged pipeline (replica of
+    // nextBatch's plan over the full file set): read → +window rank →
+    // +cache+groups-collect, each twice (codegen-warm second sample)
+    for (r <- 1 to 2) {
+      import org.apache.spark.sql.expressions.Window
+      val orderCols = Seq($"score".asc, $"created_at".asc, $"url".asc)
+      val scanned = q.read(spark)
+        .withColumn("__bl", lit(false))
+        .withColumn("__vis", !$"__bl" && $"crawl_at" <= lit(1L))
+      val w = Window.partitionBy($"partition_id", $"__vis").orderBy(orderCols: _*)
+      val tagged = scanned
+        .withColumn("__rank",
+          when($"__vis", row_number().over(w)).otherwise(lit(Int.MaxValue)))
+        .withColumn("__sel", $"__vis" && $"__rank" <= 262144 / parts)
+      time(s"stage r$r window-rank noop (no cache)")(noop(tagged))
+      val cached = tagged.cache()
+      time(s"stage r$r cache + groups collect") {
+        cached.filter($"__sel")
+          .select($"partition_id", floor($"score" * 100).as("band"))
+          .groupBy($"partition_id", $"band").count().collect()
+      }
+      time(s"stage r$r batch-from-cache count") {
+        cached.filter($"__sel").count()
+      }
+      cached.unpersist()
+    }
+    // the full nextBatch (scan+rank+select+async-commit join) twice:
+    // epoch-1 shape (65% of the queue), epoch-2 shape (the rest)
+    var e = 0L
+    var continue = true
+    while (continue) {
+      e += 1
+      val batch = time(s"nextBatch epoch$e (scan+rank+select)") {
+        f.nextBatch(262144 / parts, atEpoch = e)
+      }
+      val n = time(s"epoch$e count (cached)")(batch.count())
+      println(s"  epoch$e rows=$n scan=${f.lastScan.scannedPaths}/${f.lastScan.totalPaths} scanSec=${f.lastScan.scanSec}")
+      batch.unpersist()
+      continue = n > 0
+    }
+  }
+
+  /** A timed replica of Bench.hotPath's drain (async commit + fetch
+    * verify), warmup included — measures the dequeue/verify overlap
+    * without a 15-minute full bench. */
+  private def drainProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.spark.{SparkFrontier, ScoreStrategy}
+    val parts = 32
+    for (round <- 1 to 2) {
+      val root = java.nio.file.Files.createTempDirectory("graft-drain").toString
+      val f = new SparkFrontier(spark, root, partitions = parts,
+        stateBuckets = parts, strategy = ScoreStrategy.BFS,
+        globalOrder = false, asyncDequeueCommit = true)
+      f.bulkSchedule(spark.range(400000L).select(
+        concat(lit("http://host"), $"id" % 600, lit(".example/p/"), $"id").as("url"),
+        (($"id" % 100).cast("double") / 100.0).as("score"),
+        ($"id" % 4).cast("int").as("depth")))
+      time(s"r$round timed drain (dequeue+verify)") {
+        var crawled = 0L
+        var continue = true
+        var e = 0L
+        while (continue) {
+          e += 1
+          val batch = f.nextBatch(262144 / parts, atEpoch = e)
+          val (cnt, fails) = batch
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select($"url", $"depth").as[(String, Int)]
+            .map { case (url, depth) =>
+              val row = graft.images.ImageSynth.rowFor(url, depth, 64, 64)
+              (1L, if (graft.images.ImageSynth.verifyRow(url, depth, row)) 0L else 1L)
+            }.toDF("c", "f")
+            .agg(coalesce(sum($"c"), lit(0L)), coalesce(sum($"f"), lit(0L)))
+            .as[(Long, Long)].first()
+          batch.unpersist()
+          require(fails == 0L)
+          crawled += cnt
+          continue = cnt > 0
+        }
+        println(s"  drained $crawled urls in ${e} epochs")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.headOption match {
       case Some("minhash") => minhashStages(spark, args(1))
       case Some("clusters") => clusterRounds(spark, args(1))
+      case Some("dequeue") => dequeueProbe(spark)
+      case Some("drain") => drainProbe(spark)
       case m => sys.error(s"unknown mode $m")
     }
     spark.stop()

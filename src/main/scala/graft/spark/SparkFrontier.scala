@@ -2,7 +2,7 @@ package graft.spark
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.types._
 import graft.spark.FrontierExprs._
 
@@ -805,10 +805,12 @@ final class SparkFrontier(
     // a batch that is empty only because every bucket is flow-control
     // busy must NOT arm the DELAY_ON_EMPTY backoff below: the queue
     // isn't drained, and the backoff would keep short-circuiting for N
-    // epochs after the in-flight lag clears (the reference keeps the
-    // two mechanisms apart — the busy-partition gate lives in the DB
-    // worker's batchgen, DELAY_ON_EMPTY in the spider scheduler's
-    // genuinely-empty poll)
+    // epochs after the in-flight lag clears. This is a deliberate,
+    // tested DEVIATION from the reference (its scrapy scheduler arms
+    // _delay_next_call on ANY empty poll, frontier.py:151, including
+    // ones emptied by busy keys) — here the two mechanisms are kept
+    // apart on purpose so a flow-control-starved frontier resumes the
+    // instant its lag clears (ErrorAndReplaySpec pins both sides).
     val fcExcludedBuckets = flowControl &&
       m.bucketPaths.exists { case (b, _) => inflight(b) >= maxNextRequests }
     // per bucket: bands sorted best-first with manifest row counts
@@ -861,10 +863,6 @@ final class SparkFrontier(
         Seq($"score".desc, $"created_at".asc, $"url".asc)
       case _ => Seq($"score".asc, $"created_at".asc, $"url".asc)
     }
-    val rankW =
-      if (globalOrder) Window.orderBy(orderCols: _*)
-      else Window.partitionBy($"partition_id").orderBy(orderCols: _*)
-
     // one pass over the scanned bands: per-host politeness rank first,
     // then batch rank over the CAPPED rows only — the reference's
     // collection loop (hbase/__init__.py:239-256) skips over-cap rows and
@@ -887,29 +885,6 @@ final class SparkFrontier(
           } catch { case _: Exception => h }
         }.apply($"host")
       } else $"host"
-    def tag(visRows: DataFrame): DataFrame = {
-      if (maxPerHost > 0) {
-        require(hostSalts == 1 || maxPerHost % hostSalts == 0,
-          s"maxPerHost=$maxPerHost must divide evenly across hostSalts=$hostSalts")
-        val (hw, perGroupCap) =
-          if (hostSalts > 1) {
-            val salt = pmod(xxhash64($"fingerprint"), lit(hostSalts))
-            (Window.partitionBy(slotCol, salt).orderBy(orderCols: _*),
-              maxPerHost / hostSalts)
-          } else
-            (Window.partitionBy(slotCol).orderBy(orderCols: _*), maxPerHost)
-        val withH = visRows.withColumn("__hrank", row_number().over(hw))
-        val capped = withH.filter($"__hrank" <= perGroupCap)
-          .withColumn("__rank", row_number().over(rankW))
-        val overflow = withH.filter($"__hrank" > perGroupCap)
-          .withColumn("__rank", lit(Int.MaxValue))
-        capped.withColumn("__sel", $"__rank" <= maxNextRequests)
-          .unionByName(overflow.withColumn("__sel", lit(false)))
-      } else
-        visRows.withColumn("__rank", row_number().over(rankW))
-          .withColumn("__sel", $"__rank" <= maxNextRequests)
-    }
-
     // F4: DOMAINS_BLACKLIST at batch-generation position (reference
     // batch_generator._is_domain_blacklisted): blacklisted hosts are
     // never selected AND are dropped from the rewrite residue — deleted
@@ -917,19 +892,52 @@ final class SparkFrontier(
     val blCond: Column =
       if (domainsBlacklist.isEmpty) lit(false)
       else lower($"host").isInCollection(domainsBlacklist.map(_.toLowerCase))
-    // ranking must see only visible rows — rank over a pre-filtered
-    // frame, then union the invisible/blacklisted rows back (unranked,
-    // unselected)
+    // Ranking must see only visible rows. ONE pass: instead of
+    // filter-visible → rank → union-back (whose two union branches each
+    // re-evaluated the banded file scan — every dequeue read its files
+    // twice, and the host-cap path's capped/overflow split doubled the
+    // window subtree again), visibility (and the host-cap verdict) are
+    // extra window PARTITION KEYS: row_number within (…, __vis=true)
+    // over the full frame equals row_number over the visible-only frame
+    // under the same ordering, row by row. Invisible/blacklisted/
+    // over-cap rows rank inside their own partition and are masked to
+    // MaxValue — never selected, ride into the rewrite residue,
+    // identical to the former union's tags.
     def tagVisibilityAware(scanned0: DataFrame): DataFrame = {
       val scanned = scanned0.withColumn("__bl", blCond)
-      val visOnly = tag(scanned.filter(!$"__bl" && $"crawl_at" <= nowEpoch)
-        .withColumn("__vis", lit(true)))
-      val rest = scanned.filter($"__bl" || $"crawl_at" > nowEpoch)
-        .withColumn("__vis", lit(false))
-        .withColumn("__rank", lit(Int.MaxValue))
-      val rest2 = if (maxPerHost > 0) rest.withColumn("__hrank", lit(Int.MaxValue))
-                  else rest
-      visOnly.unionByName(rest2.withColumn("__sel", lit(false)))
+        .withColumn("__vis", !$"__bl" && $"crawl_at" <= nowEpoch)
+      def visKeyed(keys: Column*): WindowSpec =
+        Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+      if (maxPerHost > 0) {
+        require(hostSalts == 1 || maxPerHost % hostSalts == 0,
+          s"maxPerHost=$maxPerHost must divide evenly across hostSalts=$hostSalts")
+        val (hw, perGroupCap) =
+          if (hostSalts > 1) {
+            val salt = pmod(xxhash64($"fingerprint"), lit(hostSalts))
+            (visKeyed(slotCol, salt, $"__vis"), maxPerHost / hostSalts)
+          } else (visKeyed(slotCol, $"__vis"), maxPerHost)
+        val rankVisW =
+          if (globalOrder) visKeyed($"__capped")
+          else visKeyed($"partition_id", $"__capped")
+        scanned
+          .withColumn("__hrank",
+            when($"__vis", row_number().over(hw)).otherwise(lit(Int.MaxValue)))
+          .withColumn("__capped", $"__vis" && $"__hrank" <= perGroupCap)
+          .withColumn("__rank",
+            when($"__capped", row_number().over(rankVisW))
+              .otherwise(lit(Int.MaxValue)))
+          .withColumn("__sel", $"__capped" && $"__rank" <= maxNextRequests)
+          .drop("__capped")
+      } else {
+        val rankVisW =
+          if (globalOrder) visKeyed($"__vis")
+          else visKeyed($"partition_id", $"__vis")
+        scanned
+          .withColumn("__rank",
+            when($"__vis", row_number().over(rankVisW))
+              .otherwise(lit(Int.MaxValue)))
+          .withColumn("__sel", $"__vis" && $"__rank" <= maxNextRequests)
+      }
     }
 
     var tries = 0
@@ -990,49 +998,56 @@ final class SparkFrontier(
     val batch = tagged.filter($"__sel")
       .select(queueSchema.fieldNames.map(col): _*).cache()
 
-    // touched (bucket, band) groups: only bands that lost rows are
-    // rewritten; all other files stay referenced by the new manifest.
-    // Derived from `batch` so this action MATERIALIZES the batch cache
-    // while `tagged` is still cached underneath — otherwise the caller's
-    // first action would re-run the whole band scan + ranking
-    val batchGroups = labeled("dequeue scan+rank+select")(batch
-      .select($"partition_id", bandExpr.as("band"))
-      .groupBy($"partition_id", $"band").count()
-      .as[(Int, Int, Long)].collect())
-    // blacklisted rows the scan surfaced force their bands into the
-    // rewrite too — that's how they get DELETED even when no selectable
-    // row shares their band (reference: dropped at batch generation)
-    val blGroups =
-      if (domainsBlacklist.isEmpty) Array.empty[(Int, Int)]
-      else tagged.filter($"__bl")
-        .select($"partition_id", bandExpr.as("band")).distinct()
-        .as[(Int, Int)].collect()
-    // arm/clear the DELAY_ON_EMPTY backoff (reference: delay set on an
-    // empty poll, reset to 0 by any non-empty one). An empty batch with
-    // flow-control-excluded buckets is "busy", not "drained" — never
-    // arms (see fcExcludedBuckets above).
-    if (delayOnEmptyEpochs > 0)
-      emptyBackoffUntil =
-        if (batchGroups.isEmpty && !fcExcludedBuckets)
-          nowEpoch + delayOnEmptyEpochs
-        else Long.MinValue
-    val batchCounts = batchGroups.map { case (b, band, n) => (b, band) -> n }.toMap
-    val touchedGroups = (batchGroups.map(t => (t._1, t._2)) ++ blGroups).distinct
-      .map { case (b, band) => (b, band, batchCounts.getOrElse((b, band), 0L)) }
-    val tRewrite0 = System.nanoTime()
     val scannedN =
       prefix.valuesIterator.map(_.iterator.map(_._2.size).sum).sum
-    val scanSecV = (tRewrite0 - tStart) / 1e9
+    val scanSecV = (System.nanoTime() - tStart) / 1e9
     lastScan = ScanStats(scannedN, totalPaths, tries, scanSec = scanSecV)
     // the commit epoch must be read BEFORE handing off to the background
     // thread (epoch() itself joins pending commits)
     val commitEpoch = epoch
     val taggedRef = tagged
+    val prefixRef = prefix
+    val triesRef = tries
     val doCommit: () => Unit = () => labeled("dequeue residue rewrite") {
+      // touched (bucket, band) groups: only bands that lost rows are
+      // rewritten; all other files stay referenced by the new manifest.
+      // Derived from `batch`, so this action also MATERIALIZES the batch
+      // + tagged caches. In async mode the whole groups-collect → commit
+      // chain runs on the commit thread: the caller's fetch/verify job
+      // then overlaps the scan+rank COMPUTE itself, not just the residue
+      // rewrite (the caches are shared — whichever job reaches a
+      // partition first computes it, the other reads it back), and every
+      // queue entry point still joins via awaitQueueCommit() before
+      // reading backoff/manifest state.
+      val batchGroups = labeled("dequeue scan+rank+select")(batch
+        .select($"partition_id", bandExpr.as("band"))
+        .groupBy($"partition_id", $"band").count()
+        .as[(Int, Int, Long)].collect())
+      // blacklisted rows the scan surfaced force their bands into the
+      // rewrite too — that's how they get DELETED even when no selectable
+      // row shares their band (reference: dropped at batch generation)
+      val blGroups =
+        if (domainsBlacklist.isEmpty) Array.empty[(Int, Int)]
+        else taggedRef.filter($"__bl")
+          .select($"partition_id", bandExpr.as("band")).distinct()
+          .as[(Int, Int)].collect()
+      // arm/clear the DELAY_ON_EMPTY backoff (reference: delay set on an
+      // empty poll, reset to 0 by any non-empty one). An empty batch with
+      // flow-control-excluded buckets is "busy", not "drained" — never
+      // arms (see fcExcludedBuckets above).
+      if (delayOnEmptyEpochs > 0)
+        emptyBackoffUntil =
+          if (batchGroups.isEmpty && !fcExcludedBuckets)
+            nowEpoch + delayOnEmptyEpochs
+          else Long.MinValue
+      val batchCounts = batchGroups.map { case (b, band, n) => (b, band) -> n }.toMap
+      val touchedGroups = (batchGroups.map(t => (t._1, t._2)) ++ blGroups).distinct
+        .map { case (b, band) => (b, band, batchCounts.getOrElse((b, band), 0L)) }
+      val tRewrite0 = System.nanoTime()
       if (touchedGroups.nonEmpty) {
         val touchedKeys = touchedGroups.map { case (b, band, _) => s"${b}_$band" }.toSet
         val removePaths = touchedGroups.flatMap { case (b, band, _) =>
-          prefix.getOrElse(b, Vector.empty).collect { case (`band`, ps) => ps }.flatten
+          prefixRef.getOrElse(b, Vector.empty).collect { case (`band`, ps) => ps }.flatten
         }.toSet
         val groupKey = concat_ws("_", $"partition_id", bandExpr)
         val remaining = taggedRef
@@ -1050,13 +1065,14 @@ final class SparkFrontier(
           props = fcProps)
       }
       taggedRef.unpersist()
-      lastScan = ScanStats(scannedN, totalPaths, tries, scanSec = scanSecV,
+      lastScan = ScanStats(scannedN, totalPaths, triesRef, scanSec = scanSecV,
         rewriteSec = (System.nanoTime() - tRewrite0) / 1e9)
     }
     if (asyncDequeueCommit)
-      // overlap the residue rewrite with the caller's fetch stage; every
-      // queue-store entry point joins it via awaitQueueCommit() (the
-      // commitGate makes the handoff atomic with those joins)
+      // overlap the groups collect + residue rewrite with the caller's
+      // fetch stage; every queue-store entry point joins it via
+      // awaitQueueCommit() (the commitGate makes the handoff atomic with
+      // those joins)
       commitGate.synchronized {
         pendingCommit = commitPool.submit(new Runnable {
           override def run(): Unit = doCommit()
