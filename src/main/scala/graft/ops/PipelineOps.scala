@@ -1042,7 +1042,7 @@ object PipelineOps {
   private val ParaChunkToks = 10
 
   def qDedupParagraph(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spread(t(spark, dir, "documents"))
+    val docs = t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
     val ex = docs.select(col("doc_id"),
         posexplode(transform(
