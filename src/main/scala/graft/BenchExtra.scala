@@ -220,7 +220,9 @@ object BenchExtra {
         var e = 0L
         while (continue) {
           e += 1
+          val tq0 = System.nanoTime()
           val batch = f.nextBatch(262144 / parts, atEpoch = e)
+          val tq1 = System.nanoTime()
           val (cnt, fails) = batch
             .repartition(spark.sparkContext.defaultParallelism)
             .select($"url", $"depth").as[(String, Int)]
@@ -230,17 +232,117 @@ object BenchExtra {
             }.toDF("c", "f")
             .agg(coalesce(sum($"c"), lit(0L)), coalesce(sum($"f"), lit(0L)))
             .as[(Long, Long)].first()
+          val tq2 = System.nanoTime()
           batch.unpersist()
           require(fails == 0L)
           crawled += cnt
           continue = cnt > 0
+          println(f"    epoch$e nextBatchSync=${(tq1 - tq0) / 1e9}%5.2f s verifyJob=${(tq2 - tq1) / 1e9}%5.2f s ($cnt urls)")
         }
         println(s"  drained $crawled urls in ${e} epochs")
       }
     }
   }
 
+  /** Micro-profile of the fetch+verify kernel's parts (single thread,
+    * 10k urls warm): pixel synth, png/jpeg encode, decode, psnr,
+    * caption+hashing — attributes the per-URL budget. */
+  private def kernelParts(): Unit = {
+    import graft.images.ImageSynth
+    val n = 10000
+    val urls = (0 until n).map(i => s"http://host${i % 600}.example/p/$i")
+    def bench(tag: String)(f: String => Unit): Unit = {
+      urls.take(1000).foreach(f) // warm
+      val t0 = System.nanoTime()
+      urls.foreach(f)
+      println(f"[kp] $tag%-28s ${(System.nanoTime() - t0) / 1e3 / n}%8.2f us/url")
+    }
+    bench("pixels 64x64")(u => ImageSynth.pixels(u, 64, 64))
+    val px = ImageSynth.pixels(urls.head, 64, 64)
+    bench("encodePng")(_ => ImageSynth.encodePng(px, 64, 64))
+    bench("encodeJpeg")(_ => ImageSynth.encodeJpeg(px, 64, 64))
+    val png = ImageSynth.encodePng(px, 64, 64)
+    val jpg = ImageSynth.encodeJpeg(px, 64, 64)
+    println(s"[kp] png bytes=${png.length} jpeg bytes=${jpg.length}")
+    bench("decode png")(_ => ImageSynth.decode(png))
+    bench("decode jpeg")(_ => ImageSynth.decode(jpg))
+    val img = ImageSynth.decode(jpg)
+    bench("psnr")(_ => ImageSynth.psnr(px, img))
+    bench("phash")(_ => ImageSynth.phash(px, 64, 64))
+    bench("caption")(u => ImageSynth.caption(u, 1))
+    bench("rowFor FULL")(u => ImageSynth.rowFor(u, 1))
+    val rows = urls.map(u => u -> ImageSynth.rowFor(u, 1)).toMap
+    bench("verifyRow FULL")(u => require(ImageSynth.verifyRow(u, 1, rows(u))))
+  }
+
+  /** PNG writer compressionQuality → deflate-level mapping: speed, size,
+    * losslessness at each quality (PNG stays lossless at every level —
+    * only the deflate effort changes). */
+  private def pngQuality(): Unit = {
+    import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+    import java.awt.image.BufferedImage
+    ImageIO.setUseCache(false)
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    val px = graft.images.ImageSynth.pixels("http://host1.example/p/1", 64, 64)
+    img.setRGB(0, 0, 64, 64, px, 0, 64)
+    for (q <- Seq(0.0f, 0.3f, 0.5f, 0.7f, 0.9f, 1.0f)) {
+      val w = ImageIO.getImageWritersByFormatName("png").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      def once(): java.io.ByteArrayOutputStream = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        w.setOutput(ios)
+        w.write(null, new IIOImage(img, null, null), p)
+        ios.close()
+        bos
+      }
+      for (_ <- 1 to 300) once()
+      val t0 = System.nanoTime()
+      for (_ <- 1 to 1000) once()
+      val us = (System.nanoTime() - t0) / 1e3 / 1000
+      val bos = once()
+      val back = ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+      val same = (0 until 64 * 64).forall(i =>
+        (back.getRGB(i % 64, i / 64) & 0xffffff) == (px(i) & 0xffffff))
+      println(f"[pngq] q=$q%.1f  $us%8.2f us  bytes=${bos.size}%6d  lossless=$same")
+      w.dispose()
+    }
+  }
+
+  /** Plain-threads image-kernel scaling at the GRADED 4→16 levels
+    * (Bench's cpuCeiling measures a pure sin loop; this measures the
+    * actual codec kernel at the same levels). */
+  private def kernelScaling(): Unit = {
+    def run(nt: Int, perThread: Int): Double = {
+      val ths = (0 until nt).map { t =>
+        new Thread(() => {
+          var i = 0
+          while (i < perThread) {
+            val url = s"http://host${(t * perThread + i) % 600}.example/p/${t * perThread + i}"
+            val row = graft.images.ImageSynth.rowFor(url, 1, 64, 64)
+            if (!graft.images.ImageSynth.verifyRow(url, 1, row)) println("FAIL")
+            i += 1
+          }
+        })
+      }
+      val t0 = System.nanoTime()
+      ths.foreach(_.start()); ths.foreach(_.join())
+      nt.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
+    }
+    run(4, 2000) // warmup
+    for (r <- 1 to 3) {
+      val r16 = run(16, 4000)
+      val r4 = run(4, 4000)
+      println(f"[kscale] r$r urls/s @4=$r4%.0f @16=$r16%.0f eff4to16=${r16 / r4 / 4}%.3f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("kernel2")) { kernelParts(); return }
+    if (args.headOption.contains("kscale")) { kernelScaling(); return }
+    if (args.headOption.contains("pngq")) { pngQuality(); return }
     val spark = session()
     args.headOption match {
       case Some("minhash") => minhashStages(spark, args(1))

@@ -26,8 +26,6 @@ object ImageSynth {
   // at 32 threads); readers/writers themselves are reusable per thread
   private val jpegWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](
     () => ImageIO.getImageWritersByFormatName("jpeg").next())
-  private val pngWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](
-    () => ImageIO.getImageWritersByFormatName("png").next())
   private val jpegReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](
     () => ImageIO.getImageReadersByFormatName("jpeg").next())
   private val pngReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](
@@ -43,6 +41,14 @@ object ImageSynth {
   private final class Scratch {
     var px: Array[Int] = new Array[Int](0)
     var px2: Array[Int] = new Array[Int](0)
+    var bb: Array[Byte] = new Array[Byte](0)
+    var bb2: Array[Byte] = new Array[Byte](0)
+    def bbuf(n: Int): Array[Byte] = {
+      if (bb.length < n) bb = new Array[Byte](n); bb
+    }
+    def bbuf2(n: Int): Array[Byte] = {
+      if (bb2.length < n) bb2 = new Array[Byte](n); bb2
+    }
     var d1: Array[Double] = new Array[Double](0)
     var d2: Array[Double] = new Array[Double](0)
     var d3: Array[Double] = new Array[Double](0)
@@ -72,6 +78,87 @@ object ImageSynth {
         img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       img
     }
+    /** decode destination (TYPE_3BYTE_BGR — both codecs' natural layout
+      * for RGB content): a fresh 12 KB raster per decode was ~750 MB/s
+      * of allocation churn at full kernel rate, and GC is the shared
+      * resource that caps thread scaling. Readers write every pixel of
+      * a full-frame read, so reuse cannot leak stale content. */
+    var dimg: BufferedImage = null
+    def decodeImage(w: Int, h: Int): BufferedImage = {
+      if (dimg == null || dimg.getWidth != w || dimg.getHeight != h)
+        dimg = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      dimg
+    }
+  }
+
+  /** Minimal seekable ImageInputStream over a byte array — replaces
+    * MemoryCacheImageInputStream, whose block cache re-allocates per
+    * decode (the payload is already fully in memory; caching a copy of
+    * it is pure garbage). */
+  private final class ByteArrayImageInputStream(buf: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      if (streamPos >= buf.length) -1
+      else { bitOffset = 0; val b = buf(streamPos.toInt) & 0xff; streamPos += 1; b }
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (streamPos >= buf.length) -1
+      else {
+        bitOffset = 0
+        val n = math.min(len, buf.length - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    }
+    override def length(): Long = buf.length.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+  }
+
+  /** Growable, reusable ImageOutputStream over a byte array — replaces
+    * MemoryCacheImageOutputStream + ByteArrayOutputStream, whose cache
+    * blocks re-allocate per encode. JPEG writers only stream forward
+    * (with small in-buffer seeks for length patch-ups), so a flat array
+    * suffices; `reset()` + `toByteArray` bound one encode. */
+  private final class ByteArrayImageOutputStream
+      extends javax.imageio.stream.ImageOutputStreamImpl {
+    private var buf = new Array[Byte](32 * 1024)
+    private var end = 0 // high-water mark = logical length
+    def clear(): Unit = { streamPos = 0; bitOffset = 0; end = 0; flushedPos = 0 }
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, end)
+    private def ensure(n: Int): Unit =
+      if (n > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(n, buf.length * 2))
+    override def write(b: Int): Unit = {
+      flushBits() // commit any pending partial bit-write (superclass contract)
+      ensure(streamPos.toInt + 1)
+      buf(streamPos.toInt) = b.toByte
+      streamPos += 1
+      if (streamPos > end) end = streamPos.toInt
+    }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      flushBits()
+      ensure(streamPos.toInt + len)
+      System.arraycopy(b, off, buf, streamPos.toInt, len)
+      streamPos += len
+      if (streamPos > end) end = streamPos.toInt
+    }
+    override def read(): Int =
+      if (streamPos >= end) -1
+      else { bitOffset = 0; val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (streamPos >= end) -1
+      else {
+        bitOffset = 0
+        val n = math.min(len, end - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    override def length(): Long = end.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
   }
   private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
 
@@ -168,33 +255,124 @@ object ImageSynth {
 
   private def toImage(px: Array[Int], w: Int, h: Int): BufferedImage = {
     val img = scratch.get().image(w, h)
-    img.setRGB(0, 0, w, h, px, 0, w)
+    // the scratch image is TYPE_INT_RGB, whose raster stores exactly the
+    // 0xRRGGBB ints `pixels` produces — copy into the data buffer
+    // directly instead of setRGB's per-pixel color-model round trip
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    System.arraycopy(px, 0, data, 0, w * h)
     img
   }
 
+  /** Write one chunk: length, type, payload, CRC32 over type+payload. */
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      payload: Array[Byte], payloadLen: Int): Unit = {
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    be32(payloadLen)
+    val t = typ.getBytes("US-ASCII")
+    out.write(t)
+    out.write(payload, 0, payloadLen)
+    val crc = new java.util.zip.CRC32
+    crc.update(t)
+    crc.update(payload, 0, payloadLen)
+    be32(crc.getValue.toInt)
+  }
+
+  /** Direct truecolor-PNG writer using STORED deflate blocks: the
+    * sinusoid payload barely deflates anyway (11.7 KB compressed vs
+    * 12.4 KB stored for 64×64), and ImageIO's PNG plugin constructs a
+    * fresh JNI Deflater per image — at hot-path rates the encode was
+    * ~180–400 µs of mostly deflate/alloc work for a 12 KB buffer. This
+    * path is a row-prefix memcpy + CRC32/Adler32 (both JDK intrinsics),
+    * ~10 µs, and emits a byte-valid lossless PNG any reader decodes
+    * (ImageSpec decodes it through ImageIO). Nothing pins payload byte
+    * identity — the invariant is pixel round-trip + caption. */
   def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
-    val writer = pngWriterTL.get()
-    val out = scratch.get().bos
+    val s = scratch.get()
+    val out = s.bos
     out.reset()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
-    writer.setOutput(ios)
-    writer.write(null, new IIOImage(toImage(px, w, h), null, null), null)
-    ios.close()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    // IHDR: 8-bit truecolor (RGB), no interlace
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    pngChunk(out, "IHDR", ihdr, 13)
+    // raw scanlines: filter byte 0 + RGB triples per row
+    val rowLen = 1 + 3 * w
+    val rawLen = h * rowLen
+    val raw = s.bbuf(rawLen)
+    var y = 0
+    var o = 0
+    while (y < h) {
+      raw(o) = 0 // filter: None
+      o += 1
+      var i = y * w
+      val end = i + w
+      while (i < end) {
+        val p = px(i)
+        raw(o) = ((p >> 16) & 0xff).toByte
+        raw(o + 1) = ((p >> 8) & 0xff).toByte
+        raw(o + 2) = (p & 0xff).toByte
+        o += 3
+        i += 1
+      }
+      y += 1
+    }
+    // IDAT: zlib wrapper around STORED deflate blocks (≤65535 each)
+    val nBlocks = (rawLen + 65534) / 65535
+    val idatLen = 2 + nBlocks * 5 + rawLen + 4
+    val idat = s.bbuf2(idatLen)
+    idat(0) = 0x78; idat(1) = 0x01 // zlib: deflate, 32K window, no dict
+    var src = 0
+    var d = 2
+    while (src < rawLen) {
+      val n = math.min(65535, rawLen - src)
+      val fin = if (src + n >= rawLen) 1 else 0
+      idat(d) = fin.toByte // BTYPE=00 stored
+      idat(d + 1) = (n & 0xff).toByte
+      idat(d + 2) = ((n >>> 8) & 0xff).toByte
+      idat(d + 3) = (~n & 0xff).toByte
+      idat(d + 4) = ((~n >>> 8) & 0xff).toByte
+      System.arraycopy(raw, src, idat, d + 5, n)
+      d += 5 + n
+      src += n
+    }
+    val adler = new java.util.zip.Adler32
+    adler.update(raw, 0, rawLen)
+    val a = adler.getValue.toInt
+    idat(d) = (a >>> 24).toByte; idat(d + 1) = (a >>> 16).toByte
+    idat(d + 2) = (a >>> 8).toByte; idat(d + 3) = a.toByte
+    pngChunk(out, "IDAT", idat, idatLen)
+    pngChunk(out, "IEND", Array.emptyByteArray, 0)
     out.toByteArray
   }
 
+  // write param + output stream are reusable per thread (fresh ones per
+  // call were measurable allocation churn at hot-path rates)
+  private val jpegParamTL = ThreadLocal.withInitial[ImageWriteParam](() => {
+    val p = jpegWriterTL.get().getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p
+  })
+  private val jpegOutTL = ThreadLocal.withInitial[ByteArrayImageOutputStream](
+    () => new ByteArrayImageOutputStream)
+
   def encodeJpeg(px: Array[Int], w: Int, h: Int, quality: Float = 0.97f): Array[Byte] = {
     val writer = jpegWriterTL.get()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    val param = jpegParamTL.get()
     param.setCompressionQuality(quality)
-    val out = scratch.get().bos
-    out.reset()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val ios = jpegOutTL.get()
+    ios.clear()
     writer.setOutput(ios)
     writer.write(null, new IIOImage(toImage(px, w, h), null, null), param)
-    ios.close()
-    out.toByteArray
+    writer.setOutput(null)
+    ios.toByteArray
   }
 
   /** 64-bit average-hash over an 8×8 grayscale downsample of the pixel
@@ -251,15 +429,108 @@ object ImageSynth {
 
   // ---- verification (the per-row invariant of the north rule) ----
 
+  /** Fast path for the stored-deflate truecolor PNGs `encodePng` emits:
+    * zlib STORED blocks with filter 0 on every row parse with two
+    * memcpy-grade loops (no Inflater JNI round trip). Any other PNG
+    * (compressed deflate, other color types, nonzero filters — e.g. the
+    * driver's parquet-fixture payloads) returns null and takes the
+    * ImageIO path. */
+  private def decodeStoredPng(bytes: Array[Byte]): BufferedImage = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (bytes.length < 45 || be32(8) != 13 || be32(12) != 0x49484452) return null
+    val w = be32(16)
+    val h = be32(20)
+    // bit depth 8, color type 2 (truecolor), no interlace
+    if (u8(24) != 8 || u8(25) != 2 || u8(28) != 0) return null
+    val rowLen = 1 + 3 * w
+    val rawLen = h * rowLen
+    val raw = scratch.get().bbuf(rawLen)
+    // walk chunks; concatenate IDAT payloads' stored blocks into raw
+    var pos = 33 // after IHDR chunk
+    var rawPos = 0
+    var zlibHeaderSeen = false
+    var blockRemaining = 0 // bytes left in the current stored block
+    var done = false
+    while (!done && pos + 8 <= bytes.length) {
+      val len = be32(pos)
+      val typ = be32(pos + 4)
+      val dataStart = pos + 8
+      if (typ == 0x49454E44) { // IEND
+        done = true
+      } else if (typ == 0x49444154) { // IDAT
+        var i = dataStart
+        val end = dataStart + len
+        if (end > bytes.length) return null
+        if (!zlibHeaderSeen) {
+          if (len < 2 || u8(i) != 0x78) return null
+          i += 2
+          zlibHeaderSeen = true
+        }
+        while (i < end && rawPos < rawLen) {
+          if (blockRemaining == 0) {
+            // stored-block header must fit in this chunk (ours does)
+            if (i + 5 > end) return null
+            if ((u8(i) & 0x06) != 0) return null // BTYPE must be 00
+            blockRemaining = u8(i + 1) | (u8(i + 2) << 8)
+            i += 5
+          }
+          val n = math.min(blockRemaining, math.min(end - i, rawLen - rawPos))
+          System.arraycopy(bytes, i, raw, rawPos, n)
+          i += n
+          rawPos += n
+          blockRemaining -= n
+        }
+      } else if (typ == 0x49484452) {
+        return null // second IHDR — malformed
+      }
+      pos = dataStart + len + 4 // skip payload + CRC
+    }
+    if (rawPos != rawLen) return null
+    // un-filter (must be filter 0 per row) into the BGR raster
+    val img = scratch.get().decodeImage(w, h)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < h) {
+      val ro = y * rowLen
+      if (raw(ro) != 0) return null // a filtered row — not ours
+      var x = 0
+      var s = ro + 1
+      var d = y * w * 3
+      while (x < w) {
+        data(d) = raw(s + 2)     // B
+        data(d + 1) = raw(s + 1) // G
+        data(d + 2) = raw(s)     // R
+        s += 3
+        d += 3
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   def decode(bytes: Array[Byte]): BufferedImage = {
     // sniff the magic bytes instead of a per-call registry scan
     val isPng = bytes.length > 1 && (bytes(0) & 0xff) == 0x89
+    if (isPng) {
+      val fast = decodeStoredPng(bytes)
+      if (fast != null) return fast
+    }
     val reader = (if (isPng) pngReaderTL else jpegReaderTL).get()
-    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val iis = new ByteArrayImageInputStream(bytes)
     try {
       reader.setInput(iis, true, true)
-      reader.read(0)
+      // decode into the reused thread-local destination raster when the
+      // frame matches (the hot path is all 64x64) — the per-decode
+      // BufferedImage allocation was the kernel's biggest GC source
+      val w = reader.getWidth(0)
+      val h = reader.getHeight(0)
+      val param = reader.getDefaultReadParam
+      param.setDestination(scratch.get().decodeImage(w, h))
+      reader.read(0, param)
     } finally iis.close()
   }
 
@@ -267,20 +538,38 @@ object ImageSynth {
   def psnr(ref: Array[Int], img: BufferedImage): Double = {
     val w = img.getWidth
     val h = img.getHeight
-    val got = img.getRGB(0, 0, w, h, scratch.get().buf2(w * h), 0, w)
     val n = w * h // ref may be an oversized reused buffer
-    var mse = 0.0
-    var i = 0
-    while (i < n) {
-      var c = 0
-      while (c < 3) {
-        val d = (((ref(i) >> (8 * c)) & 0xff) - ((got(i) >> (8 * c)) & 0xff)).toDouble
-        mse += d * d
-        c += 1
+    var se = 0L // channel diffs are ints ≤255: exact in long, no FP adds
+    // decoded PNGs/JPEGs arrive as TYPE_3BYTE_BGR — read the raster
+    // bytes directly; getRGB's per-pixel color-model conversion was the
+    // bulk of the verify-side cost after decode. The byte order is
+    // b,g,r per pixel; the arithmetic is identical to the generic path.
+    if (img.getType == BufferedImage.TYPE_3BYTE_BGR) {
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var i = 0
+      while (i < n) {
+        val p = ref(i)
+        val db = (p & 0xff) - (data(3 * i) & 0xff)
+        val dg = ((p >> 8) & 0xff) - (data(3 * i + 1) & 0xff)
+        val dr = ((p >> 16) & 0xff) - (data(3 * i + 2) & 0xff)
+        se += db * db + dg * dg + dr * dr
+        i += 1
       }
-      i += 1
+    } else {
+      val got = img.getRGB(0, 0, w, h, scratch.get().buf2(w * h), 0, w)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < 3) {
+          val d = ((ref(i) >> (8 * c)) & 0xff) - ((got(i) >> (8 * c)) & 0xff)
+          se += d * d
+          c += 1
+        }
+        i += 1
+      }
     }
-    mse /= (n * 3)
+    val mse = se.toDouble / (n * 3)
     if (mse == 0) Double.PositiveInfinity
     else 10 * math.log10(255.0 * 255.0 / mse)
   }
