@@ -339,8 +339,57 @@ object BenchExtra {
     }
   }
 
+  /** Dump the hot-path dequeue's physical plan (the `batch` frame of
+    * nextBatch) plus a replica of the r5 union-based tagging over the
+    * same store — the committed before/after evidence for the round-6
+    * single-pass rewrite (the dequeue is an engine path, not a declared
+    * query, so BenchProbe's suite-plan dumper cannot reach it). */
+  private def dequeuePlans(spark: SparkSession, outDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.spark.{SparkFrontier, ScoreStrategy}
+    val root = java.nio.file.Files.createTempDirectory("graft-dqplan").toString
+    val parts = 32
+    val f = new SparkFrontier(spark, root, partitions = parts,
+      stateBuckets = parts, strategy = ScoreStrategy.BFS, globalOrder = false)
+    f.bulkSchedule(spark.range(400000L).select(
+      concat(lit("http://host"), $"id" % 600, lit(".example/p/"), $"id").as("url"),
+      (($"id" % 100).cast("double") / 100.0).as("score"),
+      ($"id" % 4).cast("int").as("depth")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, name),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      println(s"[plan] wrote $outDir/$name")
+    }
+    // AFTER: the real engine path
+    dump("hotpath_dequeue_after.txt", f.nextBatch(262144 / parts, atEpoch = 1))
+    // BEFORE: the r5 shape — filter-visible → rank → union the rest back
+    val orderCols = Seq($"score".asc, $"created_at".asc, $"url".asc)
+    val scanned = f.queue.read(spark).withColumn("__bl", lit(false))
+    val rankW = Window.partitionBy($"partition_id").orderBy(orderCols: _*)
+    val visOnly = scanned.filter(!$"__bl" && $"crawl_at" <= lit(1L))
+      .withColumn("__vis", lit(true))
+      .withColumn("__rank", row_number().over(rankW))
+      .withColumn("__sel", $"__rank" <= 262144 / parts)
+    val rest = scanned.filter($"__bl" || $"crawl_at" > lit(1L))
+      .withColumn("__vis", lit(false))
+      .withColumn("__rank", lit(Int.MaxValue))
+      .withColumn("__sel", lit(false))
+    dump("hotpath_dequeue_before.txt",
+      visOnly.unionByName(rest).filter($"__sel")
+        .select(f.queueSchema.fieldNames.map(col): _*))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("kernel2")) { kernelParts(); return }
+    if (args.headOption.contains("dqplans")) {
+      val spark = session()
+      dequeuePlans(spark, args.lift(1).getOrElse("/root/repo/plans/r06"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("kscale")) { kernelScaling(); return }
     if (args.headOption.contains("pngq")) { pngQuality(); return }
     val spark = session()
