@@ -204,6 +204,10 @@ object BenchExtra {
   private def drainProbe(spark: SparkSession): Unit = {
     import spark.implicits._
     import graft.spark.{SparkFrontier, ScoreStrategy}
+    if (sys.env.contains("GRAFT_DRAIN_LISTCONF"))
+      spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", 10000)
+    if (sys.env.contains("GRAFT_DRAIN_OPENCOST"))
+      spark.conf.set("spark.sql.files.openCostInBytes", 64L * 1024 * 1024)
     val parts = 32
     for (round <- 1 to 2) {
       val root = java.nio.file.Files.createTempDirectory("graft-drain").toString
